@@ -1,0 +1,40 @@
+"""Result records for a single aligned pair."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    """One pair's alignment outcome.
+
+    Matches the reference's output block (c++/backtrack.cpp:205-210):
+        <pair_num> | <score>
+        <reference with '_' gaps>
+        <relation: '*' match, '|' mismatch, ' ' gap>
+        <query with '_' gaps>
+    For local alignment with score 0 the three lines are empty
+    (cuda/LinearSmithWaterman.cu host loop: backtrack from cell (0,0)).
+    `extra_paths` holds additional co-optimal paths when a multi-path mode
+    is requested (c++/LinearSmithWaterman.cpp BACKTRACK_ALL).
+    """
+
+    pair_num: int
+    score: int
+    ref_aligned: str = ""
+    relation: str = ""
+    query_aligned: str = ""
+    extra_paths: list = dataclasses.field(default_factory=list)
+
+    def block(self) -> str:
+        """Format as the reference's 4-line output block."""
+        lines = [
+            f"{self.pair_num} | {self.score}",
+            self.ref_aligned,
+            self.relation,
+            self.query_aligned,
+        ]
+        for (r, m, q) in self.extra_paths:
+            lines.extend([r, m, q])
+        return "\n".join(lines) + "\n"

@@ -1,0 +1,200 @@
+"""Direction-matrix traceback -> alignment strings.
+
+Behavioral spec: c++/backtrack.cpp (backtrackNW :21-81, backtrackSW :83-144,
+backtrackANW :214-356) and c++/LinearSmithWaterman.cpp:116-228 for the
+multi-start local mode.  Display conventions (also backtrack.cpp):
+'*' match, '|' mismatch, ' ' gap in the relation line; '_' marks the gap in
+the sequence line; a QUERY_DELETION consumes a query char (moves up), a
+QUERY_INSERTION consumes a reference char (moves left).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from tpu_align.core import directions as D
+from tpu_align.core.params import Algorithm
+from tpu_align.core.result import AlignmentResult
+from tpu_align.oracle.scalar import FillResult
+
+
+def _walk_nw(dirs, ref: str, qry: str, r: int, c: int, stop_local: bool, h=None):
+    """Shared NW/SW walk. Returns (ref_str, rel_str, qry_str) built back-to-front."""
+    out_r, out_m, out_q = [], [], []
+    while True:
+        if stop_local:
+            if r <= 0 or c <= 0 or dirs[r, c] == D.NONE:
+                break
+        elif r == 0 and c == 0:
+            break
+        d = dirs[r, c]
+        if d == D.MATCH or d == D.MISMATCH:
+            out_r.append(ref[c - 1])
+            out_m.append(D.REL_MATCH if d == D.MATCH else D.REL_MISMATCH)
+            out_q.append(qry[r - 1])
+            r -= 1
+            c -= 1
+        elif d == D.QUERY_DELETION:
+            out_r.append(D.GAP_CHAR)
+            out_m.append(D.REL_GAP)
+            out_q.append(qry[r - 1])
+            r -= 1
+        elif d == D.QUERY_INSERTION:
+            out_r.append(ref[c - 1])
+            out_m.append(D.REL_GAP)
+            out_q.append(D.GAP_CHAR)
+            c -= 1
+        else:
+            raise ValueError(f"invalid direction {d} at ({r},{c})")
+    return (
+        "".join(reversed(out_r)),
+        "".join(reversed(out_m)),
+        "".join(reversed(out_q)),
+    )
+
+
+def _walk_anw(fill: FillResult, ref: str, qry: str):
+    """The three-matrix state machine of backtrackANW (c++/backtrack.cpp:214-356),
+    including the trailing-edge flush loops (:339-351)."""
+    SCORING, INSERTION, DELETION = 0, 1, 2
+    r, c = fill.h.shape[0] - 1, fill.h.shape[1] - 1
+    state = SCORING
+    out_r, out_m, out_q = [], [], []
+    while r != 0 and c != 0:
+        if state == SCORING:
+            d = fill.main_dirs[r, c]
+            if d == D.MATCH or d == D.MISMATCH:
+                out_r.append(ref[c - 1])
+                out_m.append(D.REL_MATCH if d == D.MATCH else D.REL_MISMATCH)
+                out_q.append(qry[r - 1])
+                r -= 1
+                c -= 1
+            elif d == D.QUERY_DELETION:
+                state = DELETION
+            elif d == D.QUERY_INSERTION:
+                state = INSERTION
+            else:
+                raise ValueError(f"invalid main direction {d} at ({r},{c})")
+        elif state == INSERTION:
+            ed = fill.e_dirs[r, c]
+            if ed == D.GAP_OPEN:
+                state = SCORING
+            elif ed == D.GAP_EXTEND:
+                state = INSERTION
+            else:
+                raise ValueError(f"invalid E direction {ed} at ({r},{c})")
+            out_r.append(ref[c - 1])
+            out_m.append(D.REL_GAP)
+            out_q.append(D.GAP_CHAR)
+            c -= 1
+        else:  # DELETION
+            fd = fill.f_dirs[r, c]
+            if fd == D.GAP_OPEN:
+                state = SCORING
+            elif fd == D.GAP_EXTEND:
+                state = DELETION
+            else:
+                raise ValueError(f"invalid F direction {fd} at ({r},{c})")
+            out_r.append(D.GAP_CHAR)
+            out_m.append(D.REL_GAP)
+            out_q.append(qry[r - 1])
+            r -= 1
+    while r > 0:
+        out_r.append(D.GAP_CHAR)
+        out_m.append(D.REL_GAP)
+        out_q.append(qry[r - 1])
+        r -= 1
+    while c > 0:
+        out_r.append(ref[c - 1])
+        out_m.append(D.REL_GAP)
+        out_q.append(D.GAP_CHAR)
+        c -= 1
+    return (
+        "".join(reversed(out_r)),
+        "".join(reversed(out_m)),
+        "".join(reversed(out_q)),
+    )
+
+
+def _local_all_paths(fill: FillResult, ref: str, qry: str):
+    """CPU LSW BACKTRACK_ALL semantics (c++/LinearSmithWaterman.cpp:126-158,
+    163-228): queue every max-scoring cell scanning rows bottom-up and
+    columns right-to-left, then advance paths breadth-first one cell per
+    turn; a path completes when its predecessor cell's score is 0.
+    Returns paths in completion order and the max score."""
+    h = fill.h
+    m, n = h.shape[0] - 1, h.shape[1] - 1
+    max_score = 0
+    starts: list[tuple[int, int]] = []
+    for r in range(m, 0, -1):
+        for c in range(n, 0, -1):
+            v = int(h[r, c])
+            if v > max_score:
+                max_score = v
+                starts = [(r, c)]
+            elif v == max_score and max_score > 0:
+                starts.append((r, c))
+    results = []
+    queue = deque(("", "", "", r, c) for (r, c) in starts)
+    while queue:
+        sr, sm, sq, r, c = queue.popleft()
+        d = fill.main_dirs[r, c]
+        if d == D.MATCH or d == D.MISMATCH:
+            nr, nc = r - 1, c - 1
+            sr = ref[c - 1] + sr
+            sm = (D.REL_MATCH if d == D.MATCH else D.REL_MISMATCH) + sm
+            sq = qry[r - 1] + sq
+        elif d == D.QUERY_DELETION:
+            nr, nc = r - 1, c
+            sr = D.GAP_CHAR + sr
+            sm = D.REL_GAP + sm
+            sq = qry[r - 1] + sq
+        elif d == D.QUERY_INSERTION:
+            nr, nc = r, c - 1
+            sr = ref[c - 1] + sr
+            sm = D.REL_GAP + sm
+            sq = D.GAP_CHAR + sq
+        else:  # NONE at a max cell can only happen if max_score == 0
+            continue
+        if h[nr, nc] != 0:
+            queue.append((sr, sm, sq, nr, nc))
+        else:
+            results.append((sr, sm, sq))
+    return max_score, results
+
+
+def traceback_pair(
+    fill: FillResult,
+    reference: str,
+    query: str,
+    pair_num: int = 0,
+    local_mode: str = "single",
+) -> AlignmentResult:
+    """Produce the alignment strings for one filled pair.
+
+    local_mode (local aligners only):
+      "single" -- one path from the first row-major max cell (the CUDA host
+                  semantics, cuda/LinearSmithWaterman.cu:300-327).
+      "all"    -- every max cell yields a path (CPU BACKTRACK_ALL mode).
+    """
+    algo = fill.algorithm
+    if algo is Algorithm.LNW:
+        r, m, q = _walk_nw(
+            fill.main_dirs, reference, query,
+            fill.h.shape[0] - 1, fill.h.shape[1] - 1, stop_local=False,
+        )
+        return AlignmentResult(pair_num, fill.global_score, r, m, q)
+    if algo is Algorithm.ANW:
+        r, m, q = _walk_anw(fill, reference, query)
+        return AlignmentResult(pair_num, fill.global_score, r, m, q)
+    # local aligners
+    if local_mode == "all":
+        score, paths = _local_all_paths(fill, reference, query)
+        first = paths[0] if paths else ("", "", "")
+        return AlignmentResult(
+            pair_num, score, first[0], first[1], first[2],
+            extra_paths=list(paths[1:]),
+        )
+    score, sr, sc = fill.local_max()
+    r, m, q = _walk_nw(fill.main_dirs, reference, query, sr, sc, stop_local=True)
+    return AlignmentResult(pair_num, score, r, m, q)
