@@ -1,0 +1,119 @@
+"""Headline benchmark: LNW DP-fill GCUPS on a 100k-pair read workload.
+
+Mirrors the reference's benchmark definition: 100,000 pairs (the bandedSWA
+SRR7733443 "small" workload shape, c++/Makefile:4 -- LFS-absent, so we
+regenerate a statistically similar ~250bp read workload), weights
+match/mismatch/gap = 3/-1/-2, GCUPS = numCells / kernel_seconds
+(cuda/LNW/LinearNeedlemanWunschV19.cu:669-673 with numCells from
+c++/parseInput.cpp:100).
+
+Baseline: the strongest committed reference kernel measurement is LNW V12 on
+H100, 51.8 ms kernel for the 100k-pair workload (BASELINE.md, 'V12
+Comparison' sheet).  The reference never committed its dataset's cell count;
+assuming the published SRR7733443 mean read length (~250bp both sides),
+numCells ~= 100k * 250 * 250 = 6.25e9, giving ~120.7 GCUPS on H100 (and
+~32.8 on the V100 where the 190 ms kernel ran).  vs_baseline compares our
+GCUPS/chip against the H100-implied 120.7.
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
+
+
+def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
+              batch_pairs=4096, iters=3, algorithm="lnw", verbose=True):
+    from tpu_align.core.params import Algorithm, AlignmentParams
+    from tpu_align.io import BucketSpec, bucketize
+    from tpu_align.kernels.fill import fill_bucket_async
+    from tpu_align.utils import synthetic_dataset
+
+    algo = Algorithm(algorithm)
+    params = AlignmentParams()
+    log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
+
+    t0 = time.perf_counter()
+    ds = synthetic_dataset(num_pairs, uniform_len=seq_len, seed=42)
+    log(f"dataset: {num_pairs} pairs, {ds.num_cells / 1e9:.2f} Gcells, "
+        f"gen {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    spec = BucketSpec(batch_pairs=batch_pairs, pair_multiple=128)
+    buckets = bucketize(ds, spec)
+    pad_cells = sum(b.batch * b.padded_qry * b.padded_ref for b in buckets)
+    log(f"bucketize: {len(buckets)} buckets in {time.perf_counter() - t0:.1f}s, "
+        f"padding efficiency {ds.num_cells / pad_cells:.2%}")
+
+    # pre-stage device inputs so the measured loop is kernel-only
+    staged = [
+        tuple(jax.device_put(x) for x in
+              (b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len))
+        for b in buckets
+    ]
+
+    def dispatch_all():
+        outs = []
+        for (rt, qt, rl, ql) in staged:
+            outs.append(fill_bucket_async(
+                algo, params, rt, qt, rl, ql, with_traceback=with_traceback
+            ))
+        jax.block_until_ready([o for out in outs for o in out if o is not None])
+        return outs
+
+    t0 = time.perf_counter()
+    dispatch_all()  # warmup / compile
+    log(f"warmup+compile: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for it in range(iters):
+        t0 = time.perf_counter()
+        dispatch_all()
+        times.append(time.perf_counter() - t0)
+        log(f"iter {it}: kernel {times[-1] * 1e3:.1f} ms, "
+            f"{ds.num_cells / times[-1] / 1e9:.1f} GCUPS")
+    best = min(times)
+    gcups = ds.num_cells / best / 1e9
+    return {
+        "metric": f"{algo.value}_fill_gcups",
+        "value": round(gcups, 2),
+        "unit": "GCUPS/chip",
+        "vs_baseline": round(gcups / BASELINE_GCUPS_H100, 3),
+        "kernel_ms": round(best * 1e3, 1),
+        "pairs_per_sec": round(num_pairs / best),
+        "num_pairs": num_pairs,
+        "cells": ds.num_cells,
+        "traceback": with_traceback,
+        "backend": jax.default_backend(),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=100_000)
+    ap.add_argument("--len", type=int, dest="seq_len", default=250)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--algorithm", default="lnw")
+    ap.add_argument("--scores-only", action="store_true")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+    result = run_bench(
+        num_pairs=args.pairs, seq_len=args.seq_len,
+        with_traceback=not args.scores_only, batch_pairs=args.batch,
+        iters=args.iters, algorithm=args.algorithm, verbose=not args.quiet,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

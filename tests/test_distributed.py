@@ -1,0 +1,70 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.distributed import (
+    fill_sharded, global_stats, make_pairs_mesh, shard_bucket_spec,
+)
+from tpu_align.io import BucketSpec, bucketize
+from tpu_align.oracle.api import align_pair
+from tpu_align.utils import synthetic_dataset
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_fill_sharded_matches_oracle():
+    mesh = make_pairs_mesh(jax.devices()[:8])
+    params = AlignmentParams()
+    ds = synthetic_dataset(64, min_len=16, max_len=48, seed=11)
+    spec = shard_bucket_spec(mesh, BucketSpec(batch_pairs=64, query_multiple=64))
+    assert spec.pair_multiple == 64
+    for bucket in bucketize(ds, spec):
+        scores, srow, scol, dirs = fill_sharded(
+            mesh, Algorithm.LNW, params,
+            bucket.ref_tokens, bucket.qry_tokens, bucket.ref_len, bucket.qry_len,
+        )
+        s = np.asarray(scores)
+        assert dirs.shape[0] == bucket.batch
+        for row in range(bucket.num_real):
+            i = int(bucket.pair_ids[row])
+            want = align_pair(Algorithm.LNW, params, *ds.pair(i), engine="scalar")
+            assert int(s[row]) == want.score
+
+
+def test_global_stats_collectives():
+    mesh = make_pairs_mesh(jax.devices()[:8])
+    scores = np.arange(64, dtype=np.int32)
+    cells = np.full(64, 10, np.int64)
+    mx, total = global_stats(mesh, scores, cells)
+    assert int(mx) == 63
+    assert int(total) == 640
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, example_args = mod.entry()
+    scores, dirs = jax.jit(fn)(*example_args)
+    jax.block_until_ready((scores, dirs))
+    assert scores.shape[0] == example_args[0].shape[0]

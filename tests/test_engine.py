@@ -1,0 +1,54 @@
+"""End-to-end engine tests: file -> engine -> reference-format output ==
+oracle output, byte for byte."""
+
+import numpy as np
+import pytest
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.io import parse_pair_file, write_pair_file
+from tpu_align.oracle.api import align_batch
+from tpu_align.runtime import AlignmentEngine
+from tpu_align.runtime.engine import align_file
+from tpu_align.utils import synthetic_dataset
+
+ALGOS = [Algorithm.LNW, Algorithm.LSW, Algorithm.ANW, Algorithm.BSW]
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_engine_matches_oracle_end_to_end(algo):
+    ds = synthetic_dataset(40, min_len=8, max_len=120, seed=3)
+    engine = AlignmentEngine(algo)
+    out = engine.run(ds)
+    want = align_batch(algo, AlignmentParams(), list(ds.pairs()), engine="scalar")
+    want_text = "".join(r.block() for r in want)
+    assert out.output_text() == want_text
+    assert out.num_cells == ds.num_cells
+    assert out.timer.seconds["kernel"] > 0
+
+
+def test_engine_scores_only():
+    ds = synthetic_dataset(20, min_len=8, max_len=60, seed=4)
+    out = AlignmentEngine(Algorithm.LNW, with_traceback=False).run(ds)
+    want = align_batch(Algorithm.LNW, AlignmentParams(), list(ds.pairs()))
+    assert list(out.scores()) == [r.score for r in want]
+    assert all(r.ref_aligned == "" for r in out.results)
+
+
+def test_engine_empty_sequence_fallback(tmp_path):
+    path = tmp_path / "p.txt"
+    path.write_text("0\nACGT\nAC\n1\n\nACGT\n2\nAC\n\n")
+    out = align_file(path, Algorithm.LNW)
+    assert [r.pair_num for r in out.results] == [0, 1, 2]
+    p = AlignmentParams()
+    # empty reference: query aligned against all-deletions
+    assert out.results[1].score == 4 * p.gap
+    assert out.results[2].score == 2 * p.gap
+
+
+def test_engine_file_roundtrip(tmp_path):
+    ds = synthetic_dataset(10, min_len=5, max_len=30, seed=5)
+    path = tmp_path / "pairs.txt"
+    write_pair_file(path, list(ds.pairs()))
+    out = align_file(path, Algorithm.LSW)
+    ds2 = parse_pair_file(path)
+    assert len(out.results) == len(ds2) == 10

@@ -1,0 +1,102 @@
+"""Pallas fill kernel vs NumPy oracle: scores, traceback starts, and full
+alignment strings must agree for all four algorithms.
+
+Runs in Pallas interpreter mode on the CPU backend (tests/conftest.py);
+the identical kernel code compiles for TPU.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.io import PairDataset, BucketSpec, bucketize
+from tpu_align.kernels import fill_bucket
+from tpu_align.oracle.api import align_pair
+from tpu_align.oracle.scalar import fill_scalar
+from tpu_align.traceback import traceback_bucket
+from tests.conftest import random_dna
+
+ALGOS = [Algorithm.LNW, Algorithm.LSW, Algorithm.ANW, Algorithm.BSW]
+PARAMS = AlignmentParams()  # reference defaults: 3/-1/-2, open -4 ext -1
+
+
+def _run_and_compare(algo, params, pairs, local_mode="single"):
+    ds = PairDataset.from_pairs(pairs)
+    spec = BucketSpec(batch_pairs=64)
+    buckets = bucketize(ds, spec)
+    got = {}
+    for b in buckets:
+        fill = fill_bucket(algo, params, b.ref_tokens, b.qry_tokens,
+                           b.ref_len, b.qry_len)
+        for res in traceback_bucket(algo, b, fill):
+            got[res.pair_num] = res
+    assert sorted(got) == list(range(len(pairs)))
+    for i, (ref, qry) in enumerate(pairs):
+        want = align_pair(algo, params, ref, qry, pair_num=i, engine="scalar",
+                          local_mode=local_mode)
+        r = got[i]
+        assert r.score == want.score, (
+            f"{algo} pair {i}: score {r.score} != {want.score} "
+            f"ref={ref!r} qry={qry!r}"
+        )
+        assert (r.ref_aligned, r.relation, r.query_aligned) == (
+            want.ref_aligned, want.relation, want.query_aligned
+        ), f"{algo} pair {i}: ref={ref!r} qry={qry!r}\n{r.block()}\n{want.block()}"
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_kernel_matches_oracle_random(rng, algo):
+    pairs = [(random_dna(rng, 1, 60), random_dna(rng, 1, 40)) for _ in range(24)]
+    _run_and_compare(algo, PARAMS, pairs)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_kernel_matches_oracle_edge_pairs(algo):
+    pairs = [
+        ("A", "A"),
+        ("A", "T"),
+        ("ACGT", "ACGT"),
+        ("AAAA", "TTTT"),
+        ("ACGTACGTACGT", "ACG"),
+        ("ACG", "ACGTACGTACGT"),
+        ("A" * 129, "A" * 130),  # crosses the 128-lane boundary
+    ]
+    _run_and_compare(algo, PARAMS, pairs)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_kernel_alt_params(rng, algo):
+    params = AlignmentParams(match=5, mismatch=-2, gap=-3, gap_open=-6,
+                             gap_extend=-2, band=5)
+    pairs = [(random_dna(rng, 1, 50), random_dna(rng, 1, 50)) for _ in range(16)]
+    _run_and_compare(algo, params, pairs)
+
+
+def test_scores_only_fast_path(rng):
+    pairs = [(random_dna(rng, 1, 50), random_dna(rng, 1, 50)) for _ in range(8)]
+    ds = PairDataset.from_pairs(pairs)
+    for algo in ALGOS:
+        for b in bucketize(ds, BucketSpec(batch_pairs=8)):
+            fill = fill_bucket(algo, PARAMS, b.ref_tokens, b.qry_tokens,
+                               b.ref_len, b.qry_len, with_traceback=False)
+            assert fill.dirs is None
+            for row in range(b.num_real):
+                i = int(b.pair_ids[row])
+                want = align_pair(algo, PARAMS, *pairs[i], engine="scalar")
+                assert int(fill.scores[row]) == want.score
+
+
+def test_local_start_cell_semantics(rng):
+    """Kernel argmax must be the first row-major maximum
+    (cuda/LinearSmithWaterman.cu:300-311)."""
+    pairs = [(random_dna(rng, 10, 80), random_dna(rng, 10, 80)) for _ in range(16)]
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=16)):
+        fill = fill_bucket(Algorithm.LSW, PARAMS, b.ref_tokens, b.qry_tokens,
+                           b.ref_len, b.qry_len, with_traceback=False)
+        for row in range(b.num_real):
+            i = int(b.pair_ids[row])
+            want = fill_scalar(Algorithm.LSW, PARAMS, *pairs[i]).local_max()
+            got = (int(fill.scores[row]), int(fill.start_row[row]),
+                   int(fill.start_col[row]))
+            assert got == want, f"pair {i}: {got} != {want}"

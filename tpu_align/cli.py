@@ -1,0 +1,89 @@
+"""Command-line driver: the c++/main.cpp / CUDA main() equivalent.
+
+Flags mirror the reference CLI (c++/main.cpp:118-150): -pairs, -match,
+-mismatch, -gap, -open, -extend; algorithm selection is a runtime flag
+instead of the reference's compile-time #defines (main.cpp:22-24), plus
+TPU-specific knobs (bucketing, traceback, scores-only).
+
+Usage:
+    python -m tpu_align -pairs input.txt -algorithm lnw -match 3 -mismatch -1 -gap -2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.io.bucketing import BucketSpec
+from tpu_align.io.dataset import parse_pair_file
+from tpu_align.runtime.engine import AlignmentEngine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu_align",
+        description="TPU-native pairwise sequence alignment",
+    )
+    p.add_argument("-pairs", required=True, help="3-line-per-pair input file")
+    p.add_argument("-algorithm", default="lnw",
+                   choices=[a.value for a in Algorithm],
+                   help="lnw | lsw | anw | bsw")
+    p.add_argument("-match", type=int, default=3)
+    p.add_argument("-mismatch", type=int, default=-1)
+    p.add_argument("-gap", type=int, default=-2)
+    p.add_argument("-open", dest="gap_open", type=int, default=-4)
+    p.add_argument("-extend", dest="gap_extend", type=int, default=-1)
+    p.add_argument("-band", type=int, default=16, help="BSW band half-width")
+    p.add_argument("-batch-pairs", type=int, default=2048,
+                   help="pairs per kernel batch (V19 BATCH_SIZE analogue)")
+    p.add_argument("-scores-only", action="store_true",
+                   help="skip traceback (V6-style fast path)")
+    p.add_argument("-no-output", action="store_true",
+                   help="suppress per-pair blocks; print stats only")
+    p.add_argument("-out", default=None, help="write output blocks to file")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    algorithm = Algorithm(args.algorithm)
+    params = AlignmentParams(
+        match=args.match, mismatch=args.mismatch, gap=args.gap,
+        gap_open=args.gap_open, gap_extend=args.gap_extend, band=args.band,
+    )
+    t0 = time.perf_counter()
+    ds = parse_pair_file(args.pairs)
+    parse_s = time.perf_counter() - t0
+    st = ds.stats()
+    engine = AlignmentEngine(
+        algorithm, params,
+        bucket_spec=BucketSpec(batch_pairs=args.batch_pairs),
+        with_traceback=not args.scores_only,
+    )
+    out = engine.run(ds)
+    if not args.no_output:
+        text = out.output_text()
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+        else:
+            sys.stdout.write(text)
+    # dataset banner + phase timers, after the blocks like the reference
+    # (cuda/LNW/LinearNeedlemanWunschV19.cu:662-680)
+    err = sys.stderr
+    print(f"Number of pairs: {st.num_pairs}", file=err)
+    print(f"Total number of cells: {st.num_cells}", file=err)
+    print(f"Reference length min/max/avg: {st.min_reference_length}/"
+          f"{st.max_reference_length}/{st.avg_reference_length:.1f}", file=err)
+    print(f"Query length min/max/avg: {st.min_query_length}/"
+          f"{st.max_query_length}/{st.avg_query_length:.1f}", file=err)
+    print(f"{'parse':>12}: {parse_s * 1e6:14.1f} us", file=err)
+    print(out.timer.report(), file=err)
+    print(f"GCUPS (kernel): {out.gcups:.3f}", file=err)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

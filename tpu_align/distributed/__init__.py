@@ -1,0 +1,15 @@
+"""Multi-chip data parallelism over pair batches."""
+
+from tpu_align.distributed.sharding import (
+    fill_sharded,
+    global_stats,
+    make_pairs_mesh,
+    shard_bucket_spec,
+)
+
+__all__ = [
+    "fill_sharded",
+    "global_stats",
+    "make_pairs_mesh",
+    "shard_bucket_spec",
+]

@@ -1,0 +1,130 @@
+"""shard_map data parallelism over a 1-D `pairs` mesh axis.
+
+The reference is single-GPU/single-node (SURVEY.md section 2.5: SLURM
+requests exactly 1 node / 1 task, c++/runjob:7-8); the TPU framework is
+first-class multi-chip.  The natural mapping for pairwise alignment is pure
+data parallelism over pair batches: no DP-cell dependency ever crosses a
+pair boundary, so each chip runs the fill kernel on its shard of the batch
+over ICI-free compute, and collectives (`psum`/`pmax`) appear only for
+run-level stats -- score maxima, GCUPS cell counts -- exactly the role
+the reference's host-side aggregation plays (V19.cu:662-673).
+
+Works identically on a real TPU slice and on a virtual
+`--xla_force_host_platform_device_count=N` CPU mesh (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.io.bucketing import BucketSpec
+from tpu_align.kernels.fill import _fill_jit
+
+PAIRS_AXIS = "pairs"
+
+
+def make_pairs_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices: the `pairs` data axis.
+
+    On a multi-host slice ICI/DCN placement follows jax.devices() order;
+    pair batches have no cross-chip traffic so topology barely matters.
+    """
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (PAIRS_AXIS,))
+
+
+def shard_bucket_spec(mesh: Mesh, spec: BucketSpec | None = None) -> BucketSpec:
+    """Adjust a BucketSpec so every bucket batch divides evenly across the
+    mesh with a kernel-legal (multiple-of-8) per-device remainder."""
+    spec = spec or BucketSpec()
+    n = mesh.devices.size
+    return BucketSpec(
+        query_multiple=spec.query_multiple,
+        ref_multiple=spec.ref_multiple,
+        batch_pairs=max(spec.batch_pairs, 8 * n),
+        pair_multiple=8 * n,
+    )
+
+
+def fill_sharded(
+    mesh: Mesh,
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    ref_tokens,
+    qry_tokens,
+    ref_len,
+    qry_len,
+    with_traceback: bool = True,
+    interpret: bool | None = None,
+):
+    """Run the fill kernel data-parallel over the mesh's `pairs` axis.
+
+    Inputs are host-global (B, ...) arrays with B divisible by
+    8 * mesh size; outputs are global arrays sharded on the batch axis.
+    Returns (scores, start_row, start_col, dirs-or-None) as JAX arrays.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b = ref_tokens.shape[0]
+    n_dev = mesh.devices.size
+    if b % (8 * n_dev):
+        raise ValueError(f"batch {b} not divisible by 8*{n_dev} devices")
+
+    out_specs = (P(PAIRS_AXIS), P(PAIRS_AXIS), P(PAIRS_AXIS))
+    if with_traceback:
+        out_specs += (P(PAIRS_AXIS, None, None),)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(PAIRS_AXIS, None), P(PAIRS_AXIS, None), P(PAIRS_AXIS),
+                  P(PAIRS_AXIS)),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    def _local_fill(rt, qt, rl, ql):
+        scores, srow, scol, dirs = _fill_jit(
+            algorithm, params, rt, qt, rl, ql,
+            with_traceback=with_traceback, interpret=interpret,
+        )
+        if with_traceback:
+            return scores, srow, scol, dirs
+        return scores, srow, scol
+
+    outs = _local_fill(
+        jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),
+        jnp.asarray(ref_len), jnp.asarray(qry_len),
+    )
+    if with_traceback:
+        return outs
+    return outs + (None,)
+
+
+def global_stats(mesh: Mesh, scores, cells):
+    """All-reduce run-level stats over the mesh: (max score, total cells).
+
+    The only collectives in the framework -- psum/pmax over the pairs axis
+    (SURVEY.md section 2.5 note 7)."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(PAIRS_AXIS), P(PAIRS_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def _reduce(s, c):
+        return (
+            jax.lax.pmax(jnp.max(s, keepdims=True), PAIRS_AXIS),
+            jax.lax.psum(jnp.sum(c, keepdims=True), PAIRS_AXIS),
+        )
+
+    mx, total = _reduce(jnp.asarray(scores), jnp.asarray(cells))
+    return mx[0], total[0]

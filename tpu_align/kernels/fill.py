@@ -1,0 +1,455 @@
+"""Pallas TPU DP-fill kernels for all four aligners.
+
+TPU-native design (SURVEY.md section 7), replacing the reference's CUDA
+warp-wavefront (one 32-thread warp per pair, staggered anti-diagonal sweep,
+cuda/LNW/LinearNeedlemanWunschV19.cu:178-314):
+
+* Layout: a tile of TILE_P pairs occupies the 128-wide VPU *lane* axis and
+  the reference sequence occupies the sublane axis -- in-register arrays are
+  (N, P).  One vector op therefore advances one DP row of 128 pairs at
+  once, the dense-batch analogue of "one warp per pair".
+* The grid is (batch_tiles, query_row_blocks): each grid step consumes an
+  8-row query block (static in-block indexing -- Mosaic forbids dynamic
+  lane slicing) and carries the DP row state across steps in VMEM scratch,
+  the TPU analogue of the reference's 32-row stripe pipelining with
+  cross-stripe shared-memory hand-off (V19.cu:210-212,290-292).  Pallas
+  double-buffers the HBM block transfers automatically.
+* The within-row dependency H[i][j] = max(t[j], H[i][j-1] + gap) is removed
+  with the prefix-scan identity V[j] = H[j] - j*gap = max(t[j]-j*gap,
+  V[j-1]) -- a running maximum over the reference (sublane) axis computed
+  in log2(N) Hillis-Steele steps of `pltpu.roll` + `jnp.maximum`.  This
+  replaces the CUDA warp-shuffle chain (V19.cu:300) and is the vector form
+  of the SIMD "striped/lazy-F" idiom (PAPERS.md).  The affine E matrix
+  admits the same scan because re-opening a gap out of an insertion state
+  is dominated by extending it when gap_open <= 0 (proof:
+  tpu_align/oracle/vectorized.py docstring).
+* Direction codes (4 bits per cell, tpu_align/core/directions.py) are
+  packed 8 query rows per int32 word -- one (N, P) word-plane written per
+  grid step with static shifts -- shrinking traceback HBM traffic 8x versus
+  the reference's byte-per-cell matrices (the V17 coalesced layout's goal,
+  V17.cu:107-118, achieved by construction).
+* Scores-only mode omits the direction output entirely, like the V6 kernel
+  that eliminated the scoring matrix (V6.cu:28-35).
+* Tie-break semantics are exactly the reference's `__vibmax` `>=` chains
+  (FakeDPX.cpp:145-153); see tpu_align/oracle/scalar.py for the
+  per-algorithm evidence.
+
+Padded cells (ref token 0, query token 1 -- never equal) are masked out of
+score tracking by the true per-pair lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_align.core import directions as D
+from tpu_align.core.params import Algorithm, AlignmentParams
+
+TILE_P = 128  # pairs per grid step (the VPU lane width)
+ROWS_PER_STEP = 8  # query rows per grid step = cells per packed dir word
+NEG = -(2**30)  # effectively -inf (python int; immune to int32 overflow on add)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel vector helpers (arrays are (N, P): ref position x pair)
+# ---------------------------------------------------------------------------
+
+
+def _ref_iota(shape):
+    """0-based reference-position index (sublane axis), broadcast over pairs."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
+
+
+def _shift_down(x, amount, fill):
+    """Shift the reference axis down by `amount` (position j receives
+    position j-amount); the first `amount` positions receive `fill`."""
+    rolled = pltpu.roll(x, amount, axis=0)
+    return jnp.where(_ref_iota(x.shape) >= amount, rolled, fill)
+
+
+def _prefix_max(v):
+    """Inclusive running maximum along the reference axis (Hillis-Steele)."""
+    n = v.shape[0]
+    shift = 1
+    while shift < n:
+        v = jnp.maximum(v, _shift_down(v, shift, NEG))
+        shift *= 2
+    return v
+
+
+def _row_scan(t, head, jg):
+    """Solve H[j] = max(t[j], H[j-1] + gap) for j = 1..N with H[0] = head.
+
+    jg must be the (1-based) column index times gap.  Sublane j-1 holds
+    column j.
+    """
+    v = jnp.maximum(t - jg, _shift_down(t - jg, 1, head))  # head enters at j=1
+    return _prefix_max(v) + jg
+
+
+# ---------------------------------------------------------------------------
+# Row updates (one DP row each)
+# ---------------------------------------------------------------------------
+
+
+def _linear_row_update(algo, p, ref, qi, prev, border_prev, border_cur, jg):
+    """One DP row for LNW/LSW/BSW.  Returns (row, dir4) with dir4 the packed
+    4-bit code per cell (band masking applied by the caller for BSW)."""
+    gap = jnp.int32(p.gap)
+    is_match = ref == qi
+    w = jnp.where(is_match, jnp.int32(p.match), jnp.int32(p.mismatch))
+    diag = _shift_down(prev, 1, border_prev)
+    mm = diag + w
+    dele = prev + gap
+    if algo is Algorithm.LNW:
+        t = jnp.maximum(mm, dele)
+        row = _row_scan(t, border_cur, jg)
+        ins = _shift_down(row, 1, border_cur) + gap
+        # direction chain (c++/LinearNeedlemanWunsch.cpp:122-126):
+        # best=mm; dele >= best -> DEL; ins >= best -> INS
+        d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
+        d = jnp.where(dele >= mm, D.MAIN_QUERY_DELETION, d)
+        d = jnp.where(ins >= t, D.MAIN_QUERY_INSERTION, d)
+        return row, d
+    # local: LSW / BSW (cuda/LinearSmithWaterman.cu:116-137 tie chain)
+    t = jnp.maximum(jnp.maximum(mm, dele), jnp.int32(0))
+    row = _row_scan(t, jnp.int32(0), jg)
+    ins = _shift_down(row, 1, jnp.int32(0)) + gap
+    d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
+    best = mm
+    d = jnp.where(ins >= best, D.MAIN_QUERY_INSERTION, d)
+    best = jnp.maximum(best, ins)
+    d = jnp.where(dele >= best, D.MAIN_QUERY_DELETION, d)
+    best = jnp.maximum(best, dele)
+    d = jnp.where(0 >= best, d | D.BIT_LOCAL_STOP, d)  # clamped cell: stop flag
+    return row, d
+
+
+def _affine_row_update(p, ref, qi, h_prev, f_prev, border_prev, border_cur,
+                       jge, is_first_row):
+    """One Gotoh row (c++/AffineNeedlemanWunsch.cpp:167-242).
+
+    Returns (h_row, f_row, dir4).
+    """
+    go, ge = jnp.int32(p.gap_open), jnp.int32(p.gap_extend)
+    is_match = ref == qi
+    w = jnp.where(is_match, jnp.int32(p.match), jnp.int32(p.mismatch))
+    diag = _shift_down(h_prev, 1, border_prev)
+    mm = diag + w
+    # F (query deletion): open vs extend; row 1 forces GAP_OPEN
+    open_f = h_prev + go + ge
+    ext_f = f_prev + ge
+    f_row = jnp.where(is_first_row, open_f, jnp.maximum(open_f, ext_f))
+    f_ext_bit = jnp.where(
+        jnp.logical_or(is_first_row, open_f >= ext_f), 0, D.BIT_F_EXTEND
+    )
+    # E via lazy-F scan over C = max(mm, F):
+    #   E[1] = H[i][0]+go+ge;  E[j] = max(C[j-1]+go+ge, E[j-1]+ge)
+    c = jnp.maximum(mm, f_row)
+    a = _shift_down(c, 1, border_cur) + go + ge  # a[0] = H[i][0]+go+ge
+    e_row = _row_scan(a, NEG, jge)  # no head candidate
+    h_row = jnp.maximum(c, e_row)
+    # E dirs use the true-H comparison (col 1 forced OPEN):
+    open_e = _shift_down(h_row, 1, jnp.int32(0)) + go + ge
+    ext_e = _shift_down(e_row, 1, NEG) + ge
+    col1 = _ref_iota(h_row.shape) == 0
+    e_ext_bit = jnp.where(
+        jnp.logical_or(col1, open_e >= ext_e), 0, D.BIT_E_EXTEND
+    )
+    # H dirs: best=mm; F >= best -> DEL; E >= best -> INS
+    d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
+    d = jnp.where(f_row >= mm, D.MAIN_QUERY_DELETION, d)
+    d = jnp.where(e_row >= jnp.maximum(f_row, mm), D.MAIN_QUERY_INSERTION, d)
+    return h_row, f_row, d | f_ext_bit | e_ext_bit
+
+
+# ---------------------------------------------------------------------------
+# Kernel body
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
+                 with_traceback: bool):
+    is_local = algo.is_local
+    is_affine = algo.is_affine
+    band = p.band
+
+    def kernel(ref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
+        if with_traceback:
+            dirs_ref, *scratch = rest
+        else:
+            dirs_ref, scratch = None, list(rest)
+        if is_affine:
+            prev_s, f_s, final_s, best_s, brow_s, bcol_s = scratch
+        else:
+            prev_s, final_s, best_s, brow_s, bcol_s = scratch
+            f_s = None
+        mw = pl.program_id(1)
+        num_mw = pl.num_programs(1)
+        shape = (n_cols, tile_p)
+        jj0 = _ref_iota(shape)  # 0-based ref position; DP column j = jj0+1
+        jg = (jj0 + 1) * jnp.int32(p.gap)
+        jge = (jj0 + 1) * jnp.int32(p.gap_extend)
+        rlen = rlen_ref[0:1, :]  # (1, P)
+        qlen = qlen_ref[0:1, :]
+        ref = ref_ref[:, :].astype(jnp.int32)
+        lane_ok = jj0 < rlen  # positions holding real reference chars
+
+        @pl.when(mw == 0)
+        def _init():
+            if is_local:
+                prev_s[:, :] = jnp.zeros(shape, jnp.int32)
+            elif is_affine:
+                # H[0][j] = go + j*ge (c++/AffineNeedlemanWunsch.cpp:43-53)
+                prev_s[:, :] = jnp.int32(p.gap_open) + jge
+                f_s[:, :] = jnp.full(shape, NEG, jnp.int32)
+            else:
+                prev_s[:, :] = jg  # H[0][j] = j*gap
+            final_s[:, :] = jnp.zeros(shape, jnp.int32)
+            best_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
+            brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
+            bcol_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
+
+        prev = prev_s[:, :]
+        f_prev = f_s[:, :] if is_affine else None
+        final_row = final_s[:, :]
+        best, brow, bcol = best_s[:, :], brow_s[:, :], bcol_s[:, :]
+        acc = jnp.zeros(shape, jnp.int32)
+
+        def borders(i):
+            """(H[i-1][0], H[i][0]) for 1-based (traced) row i."""
+            if is_local:
+                return jnp.int32(0), jnp.int32(0)
+            if is_affine:
+                go, ge = jnp.int32(p.gap_open), jnp.int32(p.gap_extend)
+                # H[0][0] = 0; H[i][0] = go + i*ge for i >= 1
+                return jnp.where(i == 1, 0, go + (i - 1) * ge), go + i * ge
+            g = jnp.int32(p.gap)
+            return (i - 1) * g, i * g
+
+        for r in range(ROWS_PER_STEP):
+            i = mw * ROWS_PER_STEP + r + 1  # 1-based DP row (traced scalar)
+            qi = qry_ref[r : r + 1, :].astype(jnp.int32)  # (1, P), static index
+            b_prev, b_cur = borders(i)
+            if is_affine:
+                row, f_prev, d4 = _affine_row_update(
+                    p, ref, qi, prev, f_prev, b_prev, b_cur, jge, i == 1
+                )
+            else:
+                row, d4 = _linear_row_update(
+                    algo, p, ref, qi, prev, b_prev, b_cur, jg
+                )
+            if algo.is_banded:
+                # python/LinearBandedSmithWaterman.py:71 band clamp
+                jj = jj0 + 1
+                in_band = jnp.logical_and(jj >= i - band + 1, jj <= i + band - 1)
+                row = jnp.where(in_band, row, 0)
+                d4 = jnp.where(in_band, d4, D.BIT_LOCAL_STOP)
+            row_valid = i <= qlen  # (1, P): row within true query length
+
+            if is_local:
+                # first-occurrence row-major argmax
+                # (cuda/LinearSmithWaterman.cu:300-311: strict '>' keeps the
+                # earliest row; min-position keeps the earliest column)
+                masked = jnp.where(jnp.logical_and(lane_ok, row_valid), row, NEG)
+                row_best = jnp.max(masked, axis=0, keepdims=True)
+                row_col = jnp.min(
+                    jnp.where(masked == row_best, jj0, jnp.int32(n_cols)),
+                    axis=0, keepdims=True,
+                )
+                upd = row_best > best
+                best = jnp.where(upd, row_best, best)
+                brow = jnp.where(upd, i, brow)
+                bcol = jnp.where(upd, row_col + 1, bcol)
+            else:
+                final_row = jnp.where(row_valid, row, final_row)
+
+            if with_traceback:
+                acc = acc | (d4 << (4 * r))
+            prev = row
+
+        if with_traceback:
+            dirs_ref[0, :, :] = acc
+
+        prev_s[:, :] = prev
+        if is_affine:
+            f_s[:, :] = f_prev
+        final_s[:, :] = final_row
+        best_s[:, :] = best
+        brow_s[:, :] = brow
+        bcol_s[:, :] = bcol
+
+        @pl.when(mw == num_mw - 1)
+        def _emit():
+            if is_local:
+                score, srow, scol = best, brow, bcol
+            else:
+                # global score = H[qlen][rlen]: position rlen-1 of final row
+                score = jnp.max(
+                    jnp.where(jj0 == rlen - 1, final_row, NEG),
+                    axis=0, keepdims=True,
+                )
+                srow, scol = qlen, rlen
+            out_rows = _ref_iota((8, tile_p))
+            meta = jnp.where(out_rows == 0, score, 0)
+            meta = jnp.where(out_rows == 1, srow, meta)
+            meta = jnp.where(out_rows == 2, scol, meta)
+            meta_ref[:, :] = meta
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BucketFill:
+    """Fill output for one bucket.
+
+    scores:    (B,) int32 -- global score (LNW/ANW) or local max (LSW/BSW)
+    start_row: (B,) int32 -- traceback start row (qlen/rlen for global)
+    start_col: (B,) int32
+    dirs:      (B, ceil(M/8), N) int32 packed 4-bit direction words, or None
+    """
+
+    scores: np.ndarray
+    start_row: np.ndarray
+    start_col: np.ndarray
+    dirs: np.ndarray | None
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("algorithm", "params", "with_traceback", "interpret"),
+)
+def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
+              with_traceback=True, interpret=False):
+    b, n = ref_tokens.shape
+    m = qry_tokens.shape[1]
+    assert n % 128 == 0 and m % ROWS_PER_STEP == 0, (b, m, n)
+    if b % TILE_P == 0:
+        tile_p = TILE_P
+    else:
+        assert b % 8 == 0, b
+        tile_p = b  # single batch tile (small buckets / tests)
+    mw = m // ROWS_PER_STEP
+    grid = (b // tile_p, mw)
+    kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback)
+    # device layout: pairs on lanes -> transpose host-major (B, *) arrays
+    ref_t = ref_tokens.astype(jnp.int32).T  # (N, B)
+    qry_t = qry_tokens.astype(jnp.int32).T  # (M, B)
+    rlen_t = ref_len.reshape(1, b).astype(jnp.int32)
+    qlen_t = qry_len.reshape(1, b).astype(jnp.int32)
+    out_shape = [jax.ShapeDtypeStruct((8, b), jnp.int32)]
+    out_specs = [
+        pl.BlockSpec((8, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    ]
+    if with_traceback:
+        out_shape.append(jax.ShapeDtypeStruct((mw, n, b), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, n, tile_p), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs = [
+        pl.BlockSpec((n, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROWS_PER_STEP, tile_p), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+    ]
+    scratch_shapes = [pltpu.VMEM((n, tile_p), jnp.int32)]  # prev H row
+    if algorithm.is_affine:
+        scratch_shapes.append(pltpu.VMEM((n, tile_p), jnp.int32))  # prev F row
+    scratch_shapes += [
+        pltpu.VMEM((n, tile_p), jnp.int32),  # captured final row
+        pltpu.VMEM((1, tile_p), jnp.int32),  # local best
+        pltpu.VMEM((1, tile_p), jnp.int32),  # local best row
+        pltpu.VMEM((1, tile_p), jnp.int32),  # local best col
+    ]
+    flops_per_cell = 24 if algorithm.is_affine else 16
+    cost = pl.CostEstimate(
+        flops=flops_per_cell * b * m * n,
+        bytes_accessed=b * (m + n) * 4 + (b * mw * n * 4 if with_traceback else 0),
+        transcendentals=0,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        cost_estimate=cost,
+    )(ref_t, qry_t, rlen_t, qlen_t)
+    meta = outs[0]
+    dirs = outs[1].transpose(2, 0, 1) if with_traceback else None  # (B, MW, N)
+    return meta[0, :], meta[1, :], meta[2, :], dirs
+
+
+def fill_bucket_async(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    ref_tokens,
+    qry_tokens,
+    ref_len,
+    qry_len,
+    with_traceback: bool = True,
+    interpret: bool | None = None,
+):
+    """Dispatch one bucket's fill; returns (scores, srow, scol, dirs) as
+    asynchronously-computing JAX arrays (dirs None in scores-only mode).
+
+    JAX's async dispatch gives the V19 host/device overlap for free
+    (cuda/LNW/LinearNeedlemanWunschV19.cu:536-585): the host can launch
+    batch N+1 and traceback batch N-1 while batch N's kernel runs.
+    """
+    if algorithm.is_affine and params.gap_open > 0:
+        raise ValueError("ANW kernel requires gap_open <= 0")
+    if interpret is None:
+        interpret = _default_interpret()
+    return _fill_jit(
+        algorithm, params,
+        jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),
+        jnp.asarray(ref_len), jnp.asarray(qry_len),
+        with_traceback=with_traceback, interpret=interpret,
+    )
+
+
+def fill_bucket(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    ref_tokens,
+    qry_tokens,
+    ref_len,
+    qry_len,
+    with_traceback: bool = True,
+    interpret: bool | None = None,
+) -> BucketFill:
+    """Fill one bucket's DP matrices on the TPU (synchronous).
+
+    Inputs may be numpy or jax arrays; shapes (B, N)/(B, M)/(B,)/(B,) with
+    B % 8 == 0, N % 128 == 0, M % 8 == 0 (the bucketing layer guarantees
+    this).  Runs in Pallas interpreter mode automatically off-TPU.
+    """
+    scores, srow, scol, dirs = fill_bucket_async(
+        algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
+        with_traceback=with_traceback, interpret=interpret,
+    )
+    return BucketFill(
+        np.asarray(scores), np.asarray(srow), np.asarray(scol),
+        np.asarray(dirs) if dirs is not None else None,
+    )

@@ -53,16 +53,15 @@ def _walk_nw(dirs, ref: str, qry: str, r: int, c: int, stop_local: bool, h=None)
     )
 
 
-def _walk_anw(fill: FillResult, ref: str, qry: str):
+def _walk_anw(main_dirs, e_dirs, f_dirs, ref: str, qry: str, r: int, c: int):
     """The three-matrix state machine of backtrackANW (c++/backtrack.cpp:214-356),
-    including the trailing-edge flush loops (:339-351)."""
+    including the trailing-edge flush loops (:339-351).  Starts at (r, c)."""
     SCORING, INSERTION, DELETION = 0, 1, 2
-    r, c = fill.h.shape[0] - 1, fill.h.shape[1] - 1
     state = SCORING
     out_r, out_m, out_q = [], [], []
     while r != 0 and c != 0:
         if state == SCORING:
-            d = fill.main_dirs[r, c]
+            d = main_dirs[r, c]
             if d == D.MATCH or d == D.MISMATCH:
                 out_r.append(ref[c - 1])
                 out_m.append(D.REL_MATCH if d == D.MATCH else D.REL_MISMATCH)
@@ -76,7 +75,7 @@ def _walk_anw(fill: FillResult, ref: str, qry: str):
             else:
                 raise ValueError(f"invalid main direction {d} at ({r},{c})")
         elif state == INSERTION:
-            ed = fill.e_dirs[r, c]
+            ed = e_dirs[r, c]
             if ed == D.GAP_OPEN:
                 state = SCORING
             elif ed == D.GAP_EXTEND:
@@ -88,7 +87,7 @@ def _walk_anw(fill: FillResult, ref: str, qry: str):
             out_q.append(D.GAP_CHAR)
             c -= 1
         else:  # DELETION
-            fd = fill.f_dirs[r, c]
+            fd = f_dirs[r, c]
             if fd == D.GAP_OPEN:
                 state = SCORING
             elif fd == D.GAP_EXTEND:
@@ -185,7 +184,10 @@ def traceback_pair(
         )
         return AlignmentResult(pair_num, fill.global_score, r, m, q)
     if algo is Algorithm.ANW:
-        r, m, q = _walk_anw(fill, reference, query)
+        r, m, q = _walk_anw(
+            fill.main_dirs, fill.e_dirs, fill.f_dirs, reference, query,
+            fill.h.shape[0] - 1, fill.h.shape[1] - 1,
+        )
         return AlignmentResult(pair_num, fill.global_score, r, m, q)
     # local aligners
     if local_mode == "all":

@@ -1,0 +1,147 @@
+"""The batch alignment engine: parse -> bucketize -> fill -> traceback -> format.
+
+Pipeline structure mirrors the reference's end-state V19 flow (SURVEY.md
+section 3.3): all bucket kernels are dispatched asynchronously up front
+(JAX async dispatch = the V19 async kernel launch), then the host walks
+tracebacks bucket-by-bucket, blocking only on the bucket it is about to
+walk while later kernels still run on device -- the V19 "print batch N-1
+while kernel N runs" overlap (V19.cu:536-585).
+
+Phase accounting follows the reference's timer buckets (memory management /
+kernel / backtracking / printing, V19.cu:675-680); GCUPS uses the parsed
+numCells (c++/parseInput.cpp:100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.core.result import AlignmentResult
+from tpu_align.io.bucketing import Bucket, BucketSpec, bucketize
+from tpu_align.io.dataset import PairDataset
+from tpu_align.kernels.fill import BucketFill, fill_bucket_async
+from tpu_align.oracle.api import align_pair
+from tpu_align.runtime.profiler import PhaseTimer
+from tpu_align.traceback.host import traceback_bucket
+
+
+@dataclasses.dataclass
+class EngineResult:
+    results: list[AlignmentResult]  # sorted by pair_num
+    timer: PhaseTimer
+    num_cells: int
+
+    @property
+    def gcups(self) -> float:
+        return self.timer.gcups(self.num_cells, "kernel")
+
+    def output_text(self) -> str:
+        """Reference-format output: 4-line blocks in pair order."""
+        return "".join(r.block() for r in self.results)
+
+    def scores(self) -> np.ndarray:
+        return np.array([r.score for r in self.results], np.int64)
+
+
+class AlignmentEngine:
+    """Aligns PairDatasets on TPU with host traceback.
+
+    with_traceback=False gives the scores-only fast path (no direction
+    matrices, no alignment strings -- the V6 mode, V6.cu:28-35).
+    """
+
+    def __init__(
+        self,
+        algorithm: Algorithm,
+        params: AlignmentParams | None = None,
+        bucket_spec: BucketSpec | None = None,
+        with_traceback: bool = True,
+        interpret: bool | None = None,
+    ):
+        self.algorithm = algorithm
+        self.params = params or AlignmentParams()
+        self.bucket_spec = bucket_spec or BucketSpec()
+        self.with_traceback = with_traceback
+        self.interpret = interpret
+
+    def _oracle_fallback(self, ds: PairDataset, i: int) -> AlignmentResult:
+        ref, qry = ds.pair(i)
+        return align_pair(
+            self.algorithm, self.params, ref, qry, pair_num=i, engine="scalar"
+        )
+
+    def warmup(self, ds: PairDataset) -> None:
+        """Compile all kernel shapes this dataset needs (keeps compile time
+        out of the measured phases)."""
+        for b in bucketize(ds, self.bucket_spec):
+            outs = fill_bucket_async(
+                self.algorithm, self.params, b.ref_tokens[:8], b.qry_tokens[:8],
+                b.ref_len[:8], b.qry_len[:8],
+                with_traceback=self.with_traceback, interpret=self.interpret,
+            )
+            jax.block_until_ready([o for o in outs if o is not None])
+
+    def run(self, ds: PairDataset) -> EngineResult:
+        timer = PhaseTimer()
+        # pairs with an empty side cannot enter the kernel (no DP interior);
+        # they fall back to the oracle
+        empty_idx = np.flatnonzero((ds.ref_len == 0) | (ds.qry_len == 0))
+        main_idx = np.flatnonzero((ds.ref_len > 0) & (ds.qry_len > 0))
+        with timer.phase("memmgmt"):
+            buckets = bucketize(ds.select(main_idx), self.bucket_spec)
+        # bucket pair_ids index into the selection; remap to dataset ids
+        for b in buckets:
+            real = b.pair_ids >= 0
+            b.pair_ids[real] = main_idx[b.pair_ids[real]]
+
+        launches: list[tuple[Bucket, tuple]] = []
+        with timer.phase("dispatch"):
+            for b in buckets:
+                outs = fill_bucket_async(
+                    self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
+                    b.ref_len, b.qry_len,
+                    with_traceback=self.with_traceback, interpret=self.interpret,
+                )
+                launches.append((b, outs))
+
+        results: list[AlignmentResult] = []
+        for b, (scores, srow, scol, dirs) in launches:
+            with timer.phase("kernel"):
+                # blocks only on this bucket; later kernels keep running
+                fill = BucketFill(
+                    np.asarray(scores), np.asarray(srow), np.asarray(scol),
+                    np.asarray(dirs) if dirs is not None else None,
+                )
+            with timer.phase("backtrack"):
+                if self.with_traceback:
+                    results.extend(traceback_bucket(self.algorithm, b, fill))
+                else:
+                    for row in range(b.num_real):
+                        results.append(
+                            AlignmentResult(
+                                int(b.pair_ids[row]), int(fill.scores[row])
+                            )
+                        )
+        with timer.phase("backtrack"):
+            for i in empty_idx:
+                results.append(self._oracle_fallback(ds, int(i)))
+        with timer.phase("printing"):
+            results.sort(key=lambda r: r.pair_num)
+        return EngineResult(results, timer, ds.num_cells)
+
+
+def align_file(
+    path,
+    algorithm: Algorithm,
+    params: AlignmentParams | None = None,
+    **engine_kwargs,
+) -> EngineResult:
+    """Parse a 3-line pair file and align it (the c++/main.cpp entry path)."""
+    from tpu_align.io.dataset import parse_pair_file
+
+    ds = parse_pair_file(path)
+    return AlignmentEngine(algorithm, params, **engine_kwargs).run(ds)

@@ -1,0 +1,97 @@
+"""Host traceback over the kernels' packed direction words.
+
+Role model: the reference's host backtracking path (c++/backtrack.cpp,
+called per pair after the kernel D2H copy, cuda/LNW/LinearNeedlemanWunsch.cu
+V1-V5), operating on our 4-bit packed word layout
+(tpu_align/core/directions.py) instead of byte-per-cell enum matrices.
+The walk itself is shared with the oracle (tpu_align/oracle/traceback.py)
+so kernel and oracle tracebacks are byte-identical by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_align.core import directions as D
+from tpu_align.core.params import Algorithm
+from tpu_align.core.result import AlignmentResult
+from tpu_align.io.bucketing import Bucket
+from tpu_align.kernels.fill import BucketFill
+from tpu_align.oracle.traceback import _walk_anw, _walk_nw
+
+# 4-bit code (bits[1:0]) -> oracle direction enum
+_MAIN_LUT = np.zeros(4, np.uint8)
+_MAIN_LUT[D.MAIN_DIAG_MATCH] = D.MATCH
+_MAIN_LUT[D.MAIN_DIAG_MISMATCH] = D.MISMATCH
+_MAIN_LUT[D.MAIN_QUERY_DELETION] = D.QUERY_DELETION
+_MAIN_LUT[D.MAIN_QUERY_INSERTION] = D.QUERY_INSERTION
+
+_SHIFTS = (4 * np.arange(8, dtype=np.uint32))[None, :, None]  # (1, 8, 1)
+
+
+def unpack_pair_dirs(
+    words: np.ndarray, qlen: int, rlen: int, algorithm: Algorithm
+):
+    """Decode one pair's packed words -> oracle-style direction matrices.
+
+    words: (MW, N) int32, 8 query rows per word (row i of the DP interior is
+    bits [4*(i%8) .. 4*(i%8)+3] of word row i//8).
+
+    Returns (main_dirs, e_dirs, f_dirs) of shape (qlen+1, rlen+1) uint8 with
+    the oracle's border conventions (row/col 0 forced INSERTION/DELETION for
+    global aligners, c++/LinearNeedlemanWunsch.cpp:31-41; NONE for local).
+    """
+    mw, n = words.shape
+    codes = (
+        (words.astype(np.uint32)[:, None, :] >> _SHIFTS) & np.uint32(0xF)
+    ).reshape(mw * 8, n)[:qlen, :rlen]
+    main = _MAIN_LUT[codes & 3]
+    e_dirs = f_dirs = None
+    if algorithm.is_affine:
+        e_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
+        f_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
+        e_dirs[1:, 1:] = np.where(codes & D.BIT_E_EXTEND, D.GAP_EXTEND, D.GAP_OPEN)
+        f_dirs[1:, 1:] = np.where(codes & D.BIT_F_EXTEND, D.GAP_EXTEND, D.GAP_OPEN)
+    elif algorithm.is_local:
+        main = np.where(codes & D.BIT_LOCAL_STOP, np.uint8(D.NONE), main)
+    main_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
+    main_dirs[1:, 1:] = main
+    if not algorithm.is_local:
+        main_dirs[1:, 0] = D.QUERY_DELETION
+        main_dirs[0, 1:] = D.QUERY_INSERTION
+    return main_dirs, e_dirs, f_dirs
+
+
+def traceback_bucket(
+    algorithm: Algorithm,
+    bucket: Bucket,
+    fill: BucketFill,
+) -> list[AlignmentResult]:
+    """Walk every real pair of a filled bucket into an AlignmentResult
+    (pair_num = original dataset index)."""
+    if fill.dirs is None:
+        raise ValueError("bucket was filled with with_traceback=False")
+    results = []
+    for row in range(bucket.num_real):
+        pair_num = int(bucket.pair_ids[row])
+        qlen = int(bucket.qry_len[row])
+        rlen = int(bucket.ref_len[row])
+        ref = bucket.ref_tokens[row, :rlen].tobytes().decode("ascii")
+        qry = bucket.qry_tokens[row, :qlen].tobytes().decode("ascii")
+        score = int(fill.scores[row])
+        srow = int(fill.start_row[row])
+        scol = int(fill.start_col[row])
+        main, e_dirs, f_dirs = unpack_pair_dirs(
+            fill.dirs[row], qlen, rlen, algorithm
+        )
+        if algorithm.is_affine:
+            r, m, q = _walk_anw(main, e_dirs, f_dirs, ref, qry, qlen, rlen)
+        elif algorithm.is_local:
+            if score <= 0:
+                r = m = q = ""  # empty block, cuda/LinearSmithWaterman.cu host
+            else:
+                r, m, q = _walk_nw(main, ref, qry, srow, scol, stop_local=True)
+        else:
+            r, m, q = _walk_nw(main, ref, qry, qlen, rlen, stop_local=False)
+        results.append(AlignmentResult(pair_num, score, r, m, q))
+    return results
