@@ -1,0 +1,324 @@
+// Native runtime components for tpu-align.
+//
+// C++ counterparts of the reference's host-side runtime:
+//   * pair-file parsing   (behavioral spec: c++/parseInput.cpp:9-127 --
+//     single flat buffer + per-pair offset/size table + dataset stats)
+//   * traceback walking   (behavioral spec: c++/backtrack.cpp backtrackNW
+//     :21-81, backtrackSW :83-144, backtrackANW :214-356 incl. the
+//     trailing-edge flush loops :339-351)
+// operating on this framework's 4-bit packed direction words
+// (tpu_align/core/directions.py) instead of byte-per-cell enum matrices.
+//
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (tpu_align/native/binding.py).  Traceback fans out over std::thread --
+// the analogue of the reference's pthread host backtracking batches
+// (cuda/LNW/LinearNeedlemanWunschV5.cu:393-430).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// 4-bit cell codes (tpu_align/core/directions.py)
+constexpr int kMainMask = 3;
+constexpr int kDiagMatch = 0;
+constexpr int kDiagMismatch = 1;
+constexpr int kQueryDeletion = 2;
+constexpr int kQueryInsertion = 3;
+constexpr int kBitEExtend = 4;  // affine E from GAP_EXTEND
+constexpr int kBitFExtend = 8;  // affine F from GAP_EXTEND
+constexpr int kBitLocalStop = 4;  // local cell clamped to 0
+
+constexpr char kGapChar = '_';
+constexpr char kRelMatch = '*';
+constexpr char kRelMismatch = '|';
+constexpr char kRelGap = ' ';
+
+// algorithms (tpu_align/core/params.py)
+constexpr int kAlgoLNW = 0;
+constexpr int kAlgoLSW = 1;
+constexpr int kAlgoANW = 2;
+constexpr int kAlgoBSW = 3;
+
+struct PackedDirs {
+  const int32_t* words;  // (mw, n) row-major for one pair
+  int64_t n;
+
+  // 4-bit code of interior DP cell (i, j), 1-based, i <= 8*mw, j <= n
+  inline int code(int64_t i, int64_t j) const {
+    const int64_t r = i - 1;
+    const uint32_t w =
+        static_cast<uint32_t>(words[(r >> 3) * n + (j - 1)]);
+    return static_cast<int>((w >> (4 * (r & 7))) & 0xF);
+  }
+};
+
+struct Walker {
+  // output built back-to-front, then reversed into the caller buffers
+  std::vector<char> ref_out, rel_out, qry_out;
+
+  void reserve(size_t cap) {
+    ref_out.reserve(cap);
+    rel_out.reserve(cap);
+    qry_out.reserve(cap);
+  }
+  inline void emit(char r, char m, char q) {
+    ref_out.push_back(r);
+    rel_out.push_back(m);
+    qry_out.push_back(q);
+  }
+};
+
+// Linear global walk (backtrackNW, c++/backtrack.cpp:21-81).  Border rows/
+// cols are implicit: row 0 -> all insertions, col 0 -> all deletions
+// (c++/LinearNeedlemanWunsch.cpp:31-41 forced border directions).
+void walk_nw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
+             int64_t r, int64_t c, Walker& w) {
+  while (r != 0 || c != 0) {
+    int code;
+    if (r == 0) {
+      code = kQueryInsertion;
+    } else if (c == 0) {
+      code = kQueryDeletion;
+    } else {
+      code = d.code(r, c) & kMainMask;
+    }
+    switch (code) {
+      case kDiagMatch:
+        w.emit(ref[c - 1], kRelMatch, qry[r - 1]);
+        --r; --c;
+        break;
+      case kDiagMismatch:
+        w.emit(ref[c - 1], kRelMismatch, qry[r - 1]);
+        --r; --c;
+        break;
+      case kQueryDeletion:
+        w.emit(kGapChar, kRelGap, qry[r - 1]);
+        --r;
+        break;
+      default:  // kQueryInsertion
+        w.emit(ref[c - 1], kRelGap, kGapChar);
+        --c;
+        break;
+    }
+  }
+}
+
+// Local walk (backtrackSW, c++/backtrack.cpp:83-144): stop at the border or
+// at a clamped-to-zero cell (the packed local-stop flag == oracle NONE).
+void walk_sw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
+             int64_t r, int64_t c, Walker& w) {
+  while (r > 0 && c > 0) {
+    const int cell = d.code(r, c);
+    if (cell & kBitLocalStop) break;
+    switch (cell & kMainMask) {
+      case kDiagMatch:
+        w.emit(ref[c - 1], kRelMatch, qry[r - 1]);
+        --r; --c;
+        break;
+      case kDiagMismatch:
+        w.emit(ref[c - 1], kRelMismatch, qry[r - 1]);
+        --r; --c;
+        break;
+      case kQueryDeletion:
+        w.emit(kGapChar, kRelGap, qry[r - 1]);
+        --r;
+        break;
+      default:
+        w.emit(ref[c - 1], kRelGap, kGapChar);
+        --c;
+        break;
+    }
+  }
+}
+
+// Affine three-state walk (backtrackANW, c++/backtrack.cpp:214-356) with
+// the trailing-edge flush loops (:339-351).
+void walk_anw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
+              int64_t r, int64_t c, Walker& w) {
+  enum { SCORING, INSERTION, DELETION } state = SCORING;
+  while (r != 0 && c != 0) {
+    const int cell = d.code(r, c);
+    if (state == SCORING) {
+      switch (cell & kMainMask) {
+        case kDiagMatch:
+          w.emit(ref[c - 1], kRelMatch, qry[r - 1]);
+          --r; --c;
+          break;
+        case kDiagMismatch:
+          w.emit(ref[c - 1], kRelMismatch, qry[r - 1]);
+          --r; --c;
+          break;
+        case kQueryDeletion:
+          state = DELETION;
+          break;
+        default:
+          state = INSERTION;
+          break;
+      }
+    } else if (state == INSERTION) {
+      if (!(cell & kBitEExtend)) state = SCORING;  // GAP_OPEN ends the run
+      w.emit(ref[c - 1], kRelGap, kGapChar);
+      --c;
+    } else {  // DELETION
+      if (!(cell & kBitFExtend)) state = SCORING;
+      w.emit(kGapChar, kRelGap, qry[r - 1]);
+      --r;
+    }
+  }
+  while (r > 0) {
+    w.emit(kGapChar, kRelGap, qry[r - 1]);
+    --r;
+  }
+  while (c > 0) {
+    w.emit(ref[c - 1], kRelGap, kGapChar);
+    --c;
+  }
+}
+
+void traceback_range(
+    int algo, int64_t lo, int64_t hi, int64_t mw, int64_t n, int64_t m,
+    const int32_t* dirs, const uint8_t* ref_tokens, const uint8_t* qry_tokens,
+    const int32_t* ref_len, const int32_t* qry_len, const int32_t* start_row,
+    const int32_t* start_col, const int32_t* scores, char* out_buf,
+    int64_t out_stride, int32_t* out_lens) {
+  Walker w;
+  w.reserve(static_cast<size_t>(m + n));
+  const bool local = (algo == kAlgoLSW || algo == kAlgoBSW);
+  for (int64_t b = lo; b < hi; ++b) {
+    w.ref_out.clear();
+    w.rel_out.clear();
+    w.qry_out.clear();
+    const PackedDirs d{dirs + b * mw * n, n};
+    const uint8_t* ref = ref_tokens + b * n;
+    const uint8_t* qry = qry_tokens + b * m;
+    if (local && scores[b] <= 0) {
+      out_lens[b] = 0;  // empty 3-line block (cuda/LinearSmithWaterman.cu host)
+    } else {
+      switch (algo) {
+        case kAlgoLNW:
+          walk_nw(d, ref, qry, qry_len[b], ref_len[b], w);
+          break;
+        case kAlgoANW:
+          walk_anw(d, ref, qry, qry_len[b], ref_len[b], w);
+          break;
+        default:
+          walk_sw(d, ref, qry, start_row[b], start_col[b], w);
+          break;
+      }
+      const int64_t len = static_cast<int64_t>(w.ref_out.size());
+      out_lens[b] = static_cast<int32_t>(len);
+      char* dst = out_buf + b * 3 * out_stride;
+      for (int64_t k = 0; k < len; ++k) {
+        dst[k] = w.ref_out[len - 1 - k];
+        dst[out_stride + k] = w.rel_out[len - 1 - k];
+        dst[2 * out_stride + k] = w.qry_out[len - 1 - k];
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Traceback: walk every pair of a bucket into three alignment strings.
+//
+// dirs:        (batch, mw, n) int32 packed 4-bit words (row-major)
+// ref_tokens:  (batch, n) uint8;  qry_tokens: (batch, m) uint8
+// out_buf:     (batch, 3, out_stride) char, caller-allocated,
+//              out_stride >= m + n; strings left-aligned, length out_lens[b]
+// Returns 0 on success.
+// ---------------------------------------------------------------------------
+int ta_traceback_bucket(
+    int algo, int64_t batch, int64_t mw, int64_t n, int64_t m,
+    const int32_t* dirs, const uint8_t* ref_tokens, const uint8_t* qry_tokens,
+    const int32_t* ref_len, const int32_t* qry_len, const int32_t* start_row,
+    const int32_t* start_col, const int32_t* scores, char* out_buf,
+    int64_t out_stride, int32_t* out_lens, int num_threads) {
+  if (out_stride < m + n) return -1;
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  num_threads = static_cast<int>(
+      std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
+  if (num_threads == 1 || batch < 64) {
+    traceback_range(algo, 0, batch, mw, n, m, dirs, ref_tokens, qry_tokens,
+                    ref_len, qry_len, start_row, start_col, scores, out_buf,
+                    out_stride, out_lens);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  const int64_t chunk = (batch + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(lo + chunk, batch);
+    if (lo >= hi) break;
+    threads.emplace_back(traceback_range, algo, lo, hi, mw, n, m, dirs,
+                         ref_tokens, qry_tokens, ref_len, qry_len, start_row,
+                         start_col, scores, out_buf, out_stride, out_lens);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Pair-file parsing (two-call protocol like c++/parseInput.cpp's two-pass).
+//
+// ta_count_pairs: returns the number of pairs, or -1 if the line count is
+// not a multiple of 3 (parseInput.cpp:38-42).  A missing trailing newline
+// is tolerated (counted as terminating the last line).
+// ---------------------------------------------------------------------------
+int64_t ta_count_pairs(const uint8_t* data, int64_t nbytes) {
+  int64_t lines = 0;
+  for (int64_t i = 0; i < nbytes; ++i) lines += (data[i] == '\n');
+  if (nbytes > 0 && data[nbytes - 1] != '\n') ++lines;
+  if (lines % 3 != 0) return -1;
+  return lines / 3;
+}
+
+// ta_parse_pairs: fill per-pair (offset, length) tables for reference and
+// query lines; optionally translate digits 0123 -> ATCG in place
+// (cuda/convert.sh).  CRLF tolerated.  Returns pairs parsed, or -1.
+int64_t ta_parse_pairs(uint8_t* data, int64_t nbytes, int64_t max_pairs,
+                       int64_t* ref_off, int64_t* ref_len, int64_t* qry_off,
+                       int64_t* qry_len, int translate_digits) {
+  static const char kBase[4] = {'A', 'T', 'C', 'G'};
+  int64_t pair = 0;
+  int mode = 0;  // 0 = seed line, 1 = reference, 2 = query
+  int64_t line_start = 0;
+  for (int64_t i = 0; i <= nbytes; ++i) {
+    const bool eof_line = (i == nbytes && line_start < i);
+    if (i < nbytes && data[i] != '\n' && !eof_line) {
+      if (translate_digits && data[i] >= '0' && data[i] <= '3') {
+        data[i] = kBase[data[i] - '0'];
+      }
+      continue;
+    }
+    if (i == nbytes && !eof_line) break;
+    int64_t end = i;
+    if (end > line_start && end <= nbytes && end - 1 >= 0 &&
+        data[end - 1] == '\r') {
+      --end;
+    }
+    if (mode == 1) {
+      ref_off[pair] = line_start;
+      ref_len[pair] = end - line_start;
+    } else if (mode == 2) {
+      qry_off[pair] = line_start;
+      qry_len[pair] = end - line_start;
+      if (++pair == max_pairs) return pair;
+    }
+    mode = (mode + 1) % 3;
+    line_start = i + 1;
+  }
+  return (mode == 0) ? pair : -1;
+}
+
+}  // extern "C"

@@ -146,14 +146,25 @@ class PairDataset:
         )
 
 
-def parse_pair_text(data: bytes, translate_digits: bool = True) -> PairDataset:
+def parse_pair_text(
+    data: bytes, translate_digits: bool = True, use_native: bool = True
+) -> PairDataset:
     """Parse the 3-line-per-pair format from an in-memory byte string.
 
-    Vectorized single pass: find newline positions, derive per-line offsets,
-    take every 3k+1'th line as reference and 3k+2'th as query -- the numpy
-    counterpart of the reference's byte-scan state machine
-    (c++/parseInput.cpp:81-113).
+    Uses the native single-pass parser (native/tpualign.cpp
+    ta_parse_pairs, the c++/parseInput.cpp counterpart) when available;
+    otherwise a vectorized numpy pass: find newline positions, derive
+    per-line offsets, take every 3k+1'th line as reference and 3k+2'th as
+    query (the byte-scan state machine of c++/parseInput.cpp:81-113).
     """
+    if use_native:
+        from tpu_align.native import native_parse_pair_bytes
+
+        out = native_parse_pair_bytes(data, translate_digits=translate_digits)
+        if out is not None:
+            buf, ro, rl, qo, ql = out
+            n = min(len(ro), INPUT_CAP)
+            return PairDataset(buf, ro[:n], rl[:n], qo[:n], ql[:n])
     buf = np.frombuffer(data, np.uint8).copy()
     if buf.size and buf[-1] != 0x0A:  # tolerate missing trailing newline
         buf = np.append(buf, np.uint8(0x0A))
@@ -161,6 +172,8 @@ def parse_pair_text(data: bytes, translate_digits: bool = True) -> PairDataset:
     num_lines = nl.size
     if num_lines % 3 != 0:
         raise ValueError(f"number of lines not a multiple of 3: {num_lines}")
+    if num_lines == 0:
+        return PairDataset(np.zeros(0, np.uint8), [], [], [], [])
     num_pairs = min(num_lines // 3, INPUT_CAP)
     starts = np.empty(num_lines, np.int64)
     starts[0] = 0

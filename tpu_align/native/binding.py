@@ -1,0 +1,177 @@
+"""ctypes loader + wrappers for the native runtime (native/tpualign.cpp).
+
+The shared library is looked up next to the repo's native/ directory and in
+the package directory; if absent, a build via `make -C native` is attempted
+once.  Callers must handle `available() == False` (pure-Python fallbacks
+exist for every native entry point).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_ALGO_CODE = {"lnw": 0, "lsw": 1, "anw": 2, "bsw": 3}
+
+
+def _candidate_paths():
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    return [
+        os.path.join(repo, "native", "libtpualign.so"),
+        os.path.join(here, "libtpualign.so"),
+    ]
+
+
+def _try_build() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    native_dir = os.path.join(repo, "native")
+    if not os.path.exists(os.path.join(native_dir, "Makefile")):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        for attempt in range(2):
+            for path in _candidate_paths():
+                if os.path.exists(path):
+                    try:
+                        lib = ctypes.CDLL(path)
+                    except OSError:
+                        continue
+                    _configure(lib)
+                    _lib = lib
+                    return _lib
+            if attempt == 0:
+                _try_build()
+        return None
+
+
+def _configure(lib) -> None:
+    i64 = ctypes.c_int64
+    lib.ta_traceback_bucket.restype = ctypes.c_int
+    lib.ta_traceback_bucket.argtypes = [
+        ctypes.c_int, i64, i64, i64, i64,
+        ctypes.POINTER(ctypes.c_int32),  # dirs
+        ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
+        ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
+        ctypes.POINTER(ctypes.c_int32),  # ref_len
+        ctypes.POINTER(ctypes.c_int32),  # qry_len
+        ctypes.POINTER(ctypes.c_int32),  # start_row
+        ctypes.POINTER(ctypes.c_int32),  # start_col
+        ctypes.POINTER(ctypes.c_int32),  # scores
+        ctypes.c_char_p,                 # out_buf
+        i64,                             # out_stride
+        ctypes.POINTER(ctypes.c_int32),  # out_lens
+        ctypes.c_int,                    # num_threads
+    ]
+    lib.ta_count_pairs.restype = i64
+    lib.ta_count_pairs.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64]
+    lib.ta_parse_pairs.restype = i64
+    lib.ta_parse_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), i64, i64,
+        ctypes.POINTER(i64), ctypes.POINTER(i64),
+        ctypes.POINTER(i64), ctypes.POINTER(i64),
+        ctypes.c_int,
+    ]
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_traceback_bucket(
+    algorithm_value: str,
+    dirs: np.ndarray,        # (B, MW, N) int32, C-contiguous
+    ref_tokens: np.ndarray,  # (B, N) uint8
+    qry_tokens: np.ndarray,  # (B, M) uint8
+    ref_len: np.ndarray,     # (B,) int32
+    qry_len: np.ndarray,
+    start_row: np.ndarray,
+    start_col: np.ndarray,
+    scores: np.ndarray,
+    num_threads: int = 0,
+):
+    """Walk a whole bucket natively.  Returns (out_buf, out_lens) where
+    out_buf is (B, 3, stride) uint8 with left-aligned ref/rel/qry strings of
+    length out_lens[b].  None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b, mw, n = dirs.shape
+    m = qry_tokens.shape[1]
+    stride = m + n
+    dirs = np.ascontiguousarray(dirs, np.int32)
+    ref_tokens = np.ascontiguousarray(ref_tokens, np.uint8)
+    qry_tokens = np.ascontiguousarray(qry_tokens, np.uint8)
+    ref_len = np.ascontiguousarray(ref_len, np.int32)
+    qry_len = np.ascontiguousarray(qry_len, np.int32)
+    start_row = np.ascontiguousarray(start_row, np.int32)
+    start_col = np.ascontiguousarray(start_col, np.int32)
+    scores = np.ascontiguousarray(scores, np.int32)
+    out_buf = np.zeros((b, 3, stride), np.uint8)
+    out_lens = np.zeros(b, np.int32)
+    rc = lib.ta_traceback_bucket(
+        _ALGO_CODE[algorithm_value], b, mw, n, m,
+        _ptr(dirs, ctypes.c_int32),
+        _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
+        _ptr(ref_len, ctypes.c_int32), _ptr(qry_len, ctypes.c_int32),
+        _ptr(start_row, ctypes.c_int32), _ptr(start_col, ctypes.c_int32),
+        _ptr(scores, ctypes.c_int32),
+        out_buf.ctypes.data_as(ctypes.c_char_p), stride,
+        _ptr(out_lens, ctypes.c_int32), num_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"ta_traceback_bucket failed: {rc}")
+    return out_buf, out_lens
+
+
+def native_parse_pair_bytes(data: bytes, translate_digits: bool = True):
+    """Parse a 3-line pair file natively.  Returns (buffer, ref_off, ref_len,
+    qry_off, qry_len) or None if the library is unavailable.  Raises
+    ValueError on malformed input (line count not a multiple of 3)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8).copy()
+    nbytes = buf.size
+    npairs = lib.ta_count_pairs(_ptr(buf, ctypes.c_uint8), nbytes)
+    if npairs < 0:
+        raise ValueError("number of lines not a multiple of 3")
+    i64 = ctypes.c_int64
+    ro = np.zeros(npairs, np.int64)
+    rl = np.zeros(npairs, np.int64)
+    qo = np.zeros(npairs, np.int64)
+    ql = np.zeros(npairs, np.int64)
+    got = lib.ta_parse_pairs(
+        _ptr(buf, ctypes.c_uint8), nbytes, npairs,
+        _ptr(ro, i64), _ptr(rl, i64), _ptr(qo, i64), _ptr(ql, i64),
+        1 if translate_digits else 0,
+    )
+    if got < 0:
+        raise ValueError("malformed pair file")
+    return buf, ro[:got], rl[:got], qo[:got], ql[:got]

@@ -66,11 +66,21 @@ def traceback_bucket(
     algorithm: Algorithm,
     bucket: Bucket,
     fill: BucketFill,
+    use_native: bool = True,
 ) -> list[AlignmentResult]:
     """Walk every real pair of a filled bucket into an AlignmentResult
-    (pair_num = original dataset index)."""
+    (pair_num = original dataset index).
+
+    Uses the multithreaded native walker (native/tpualign.cpp, the
+    c++/backtrack.cpp counterpart) when the shared library is available;
+    falls back to the Python/NumPy walk otherwise.  Both paths are
+    byte-identical (tests/test_native.py)."""
     if fill.dirs is None:
         raise ValueError("bucket was filled with with_traceback=False")
+    if use_native:
+        native = _native_traceback(algorithm, bucket, fill)
+        if native is not None:
+            return native
     results = []
     for row in range(bucket.num_real):
         pair_num = int(bucket.pair_ids[row])
@@ -94,4 +104,35 @@ def traceback_bucket(
         else:
             r, m, q = _walk_nw(main, ref, qry, qlen, rlen, stop_local=False)
         results.append(AlignmentResult(pair_num, score, r, m, q))
+    return results
+
+
+def _native_traceback(
+    algorithm: Algorithm, bucket: Bucket, fill: BucketFill
+) -> list[AlignmentResult] | None:
+    """Bucket walk via native/libtpualign.so; None if unavailable."""
+    from tpu_align.native import native_traceback_bucket
+
+    nb = bucket.num_real
+    out = native_traceback_bucket(
+        algorithm.value,
+        fill.dirs[:nb], bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
+        bucket.ref_len[:nb], bucket.qry_len[:nb],
+        fill.start_row[:nb], fill.start_col[:nb], fill.scores[:nb],
+    )
+    if out is None:
+        return None
+    out_buf, out_lens = out
+    results = []
+    for row in range(nb):
+        ln = int(out_lens[row])
+        results.append(
+            AlignmentResult(
+                int(bucket.pair_ids[row]),
+                int(fill.scores[row]),
+                out_buf[row, 0, :ln].tobytes().decode("ascii"),
+                out_buf[row, 1, :ln].tobytes().decode("ascii"),
+                out_buf[row, 2, :ln].tobytes().decode("ascii"),
+            )
+        )
     return results
