@@ -97,6 +97,43 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
     }
 
 
+def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
+                     algorithm="lnw", verbose=True):
+    """End-to-end engine run (fill + traceback + formatting) with the V19
+    phase breakdown; emits a record consumable by
+    tpu_align.utils.timing_analysis."""
+    from tpu_align.core.params import Algorithm
+    from tpu_align.io.bucketing import BucketSpec
+    from tpu_align.runtime.engine import AlignmentEngine
+    from tpu_align.utils import synthetic_dataset
+
+    algo = Algorithm(algorithm)
+    log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
+    ds = synthetic_dataset(num_pairs, uniform_len=seq_len, seed=42)
+    engine = AlignmentEngine(
+        algo, bucket_spec=BucketSpec(batch_pairs=batch_pairs, pair_multiple=128)
+    )
+    engine.warmup(ds)
+    t0 = time.perf_counter()
+    out = engine.run(ds)
+    with out.timer.phase("printing"):
+        text = out.output_text()
+    total = time.perf_counter() - t0
+    log(out.timer.report())
+    return {
+        "metric": f"{algo.value}_e2e_pairs_per_sec",
+        "value": round(num_pairs / total),
+        "unit": "pairs/sec",
+        "vs_baseline": round((num_pairs / total) / (100_000 / 0.4406), 3),
+        "label": f"{algo.value}-e2e",
+        "phases": {k: round(v, 6) for k, v in out.timer.seconds.items()},
+        "total_s": round(total, 4),
+        "gcups_kernel_phase": round(out.gcups, 2),
+        "output_bytes": len(text),
+        "backend": jax.default_backend(),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=100_000)
@@ -105,13 +142,23 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--algorithm", default="lnw")
     ap.add_argument("--scores-only", action="store_true")
+    ap.add_argument("--engine", action="store_true",
+                    help="end-to-end engine bench with phase breakdown "
+                         "(vs_baseline: reference V12 total 440.6 ms / 100k)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
-    result = run_bench(
-        num_pairs=args.pairs, seq_len=args.seq_len,
-        with_traceback=not args.scores_only, batch_pairs=args.batch,
-        iters=args.iters, algorithm=args.algorithm, verbose=not args.quiet,
-    )
+    if args.engine:
+        result = run_engine_bench(
+            num_pairs=args.pairs, seq_len=args.seq_len,
+            batch_pairs=args.batch, algorithm=args.algorithm,
+            verbose=not args.quiet,
+        )
+    else:
+        result = run_bench(
+            num_pairs=args.pairs, seq_len=args.seq_len,
+            with_traceback=not args.scores_only, batch_pairs=args.batch,
+            iters=args.iters, algorithm=args.algorithm, verbose=not args.quiet,
+        )
     print(json.dumps(result))
 
 

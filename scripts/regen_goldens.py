@@ -1,0 +1,27 @@
+"""Regenerate the goldens/ trees (the correct-outputs/ equivalent).
+
+The reference's golden files are git-LFS-absent (.MISSING_LARGE_BLOBS); the
+NumPy oracle is this framework's golden generator (SURVEY.md section 4).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tpu_align.core.params import Algorithm  # noqa: E402
+from tpu_align.verify import generate_goldens, verify_output  # noqa: E402
+
+
+def main():
+    root = os.path.join(os.path.dirname(__file__), "..", "goldens")
+    for algo in Algorithm:
+        out_dir = os.path.join(root, algo.value)
+        in_path, out_path = generate_goldens(out_dir, algo)
+        failures = verify_output(in_path, out_path, algo)
+        assert not failures, failures[:5]
+        print(f"{algo.value}: wrote + verified {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
