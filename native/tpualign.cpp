@@ -44,14 +44,16 @@ constexpr int kAlgoANW = 2;
 constexpr int kAlgoBSW = 3;
 
 struct PackedDirs {
-  const int32_t* words;  // (mw, n) row-major for one pair
-  int64_t n;
+  // One pair's view into the (mw, b_total, n) word tensor: `words` points
+  // at the pair's first word-row; consecutive word-rows are `stride` apart.
+  const int32_t* words;
+  int64_t stride;
 
   // 4-bit code of interior DP cell (i, j), 1-based, i <= 8*mw, j <= n
   inline int code(int64_t i, int64_t j) const {
     const int64_t r = i - 1;
     const uint32_t w =
-        static_cast<uint32_t>(words[(r >> 3) * n + (j - 1)]);
+        static_cast<uint32_t>(words[(r >> 3) * stride + (j - 1)]);
     return static_cast<int>((w >> (4 * (r & 7))) & 0xF);
   }
 };
@@ -180,11 +182,12 @@ void walk_anw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
 }
 
 void traceback_range(
-    int algo, int64_t lo, int64_t hi, int64_t mw, int64_t n, int64_t m,
-    const int32_t* dirs, const uint8_t* ref_tokens, const uint8_t* qry_tokens,
-    const int32_t* ref_len, const int32_t* qry_len, const int32_t* start_row,
-    const int32_t* start_col, const int32_t* scores, char* out_buf,
-    int64_t out_stride, int32_t* out_lens) {
+    int algo, int64_t lo, int64_t hi, int64_t mw, int64_t b_total, int64_t n,
+    int64_t m, const int32_t* dirs, const uint8_t* ref_tokens,
+    const uint8_t* qry_tokens, const int32_t* ref_len, const int32_t* qry_len,
+    const int32_t* start_row, const int32_t* start_col, const int32_t* scores,
+    char* out_buf, int64_t out_stride, int32_t* out_lens) {
+  (void)mw;
   Walker w;
   w.reserve(static_cast<size_t>(m + n));
   const bool local = (algo == kAlgoLSW || algo == kAlgoBSW);
@@ -192,7 +195,7 @@ void traceback_range(
     w.ref_out.clear();
     w.rel_out.clear();
     w.qry_out.clear();
-    const PackedDirs d{dirs + b * mw * n, n};
+    const PackedDirs d{dirs + b * n, b_total * n};
     const uint8_t* ref = ref_tokens + b * n;
     const uint8_t* qry = qry_tokens + b * m;
     if (local && scores[b] <= 0) {
@@ -228,18 +231,20 @@ extern "C" {
 // ---------------------------------------------------------------------------
 // Traceback: walk every pair of a bucket into three alignment strings.
 //
-// dirs:        (batch, mw, n) int32 packed 4-bit words (row-major)
+// dirs:        (mw, b_total, n) int32 packed 4-bit words (word-major; the
+//              kernel's HBM layout -- pair b's word-row k is
+//              dirs[k*b_total*n + b*n .. +n])
 // ref_tokens:  (batch, n) uint8;  qry_tokens: (batch, m) uint8
 // out_buf:     (batch, 3, out_stride) char, caller-allocated,
 //              out_stride >= m + n; strings left-aligned, length out_lens[b]
 // Returns 0 on success.
 // ---------------------------------------------------------------------------
 int ta_traceback_bucket(
-    int algo, int64_t batch, int64_t mw, int64_t n, int64_t m,
-    const int32_t* dirs, const uint8_t* ref_tokens, const uint8_t* qry_tokens,
-    const int32_t* ref_len, const int32_t* qry_len, const int32_t* start_row,
-    const int32_t* start_col, const int32_t* scores, char* out_buf,
-    int64_t out_stride, int32_t* out_lens, int num_threads) {
+    int algo, int64_t batch, int64_t b_total, int64_t mw, int64_t n,
+    int64_t m, const int32_t* dirs, const uint8_t* ref_tokens,
+    const uint8_t* qry_tokens, const int32_t* ref_len, const int32_t* qry_len,
+    const int32_t* start_row, const int32_t* start_col, const int32_t* scores,
+    char* out_buf, int64_t out_stride, int32_t* out_lens, int num_threads) {
   if (out_stride < m + n) return -1;
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
@@ -248,9 +253,9 @@ int ta_traceback_bucket(
   num_threads = static_cast<int>(
       std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
   if (num_threads == 1 || batch < 64) {
-    traceback_range(algo, 0, batch, mw, n, m, dirs, ref_tokens, qry_tokens,
-                    ref_len, qry_len, start_row, start_col, scores, out_buf,
-                    out_stride, out_lens);
+    traceback_range(algo, 0, batch, mw, b_total, n, m, dirs, ref_tokens,
+                    qry_tokens, ref_len, qry_len, start_row, start_col,
+                    scores, out_buf, out_stride, out_lens);
     return 0;
   }
   std::vector<std::thread> threads;
@@ -260,9 +265,10 @@ int ta_traceback_bucket(
     const int64_t lo = t * chunk;
     const int64_t hi = std::min<int64_t>(lo + chunk, batch);
     if (lo >= hi) break;
-    threads.emplace_back(traceback_range, algo, lo, hi, mw, n, m, dirs,
-                         ref_tokens, qry_tokens, ref_len, qry_len, start_row,
-                         start_col, scores, out_buf, out_stride, out_lens);
+    threads.emplace_back(traceback_range, algo, lo, hi, mw, b_total, n, m,
+                         dirs, ref_tokens, qry_tokens, ref_len, qry_len,
+                         start_row, start_col, scores, out_buf, out_stride,
+                         out_lens);
   }
   for (auto& th : threads) th.join();
   return 0;

@@ -54,7 +54,12 @@ from tpu_align.core.params import Algorithm, AlignmentParams
 
 TILE_P = 128  # pairs per grid step (the VPU lane width)
 ROWS_PER_STEP = 8  # query rows per grid step = cells per packed dir word
-NEG = -(2**30)  # effectively -inf (python int; immune to int32 overflow on add)
+NEG = -(2**30)  # -inf for int32 scores (python int; immune to overflow on add)
+NEG16 = -(2**14)  # -inf for int16 scores; |score| bound must stay < 2**13
+
+
+def _neg_for(dtype) -> int:
+    return NEG16 if dtype == jnp.int16 else NEG
 
 
 # ---------------------------------------------------------------------------
@@ -74,24 +79,24 @@ def _shift_down(x, amount, fill):
     return jnp.where(_ref_iota(x.shape) >= amount, rolled, fill)
 
 
-def _prefix_max(v):
+def _prefix_max(v, neg):
     """Inclusive running maximum along the reference axis (Hillis-Steele)."""
     n = v.shape[0]
     shift = 1
     while shift < n:
-        v = jnp.maximum(v, _shift_down(v, shift, NEG))
+        v = jnp.maximum(v, _shift_down(v, shift, neg))
         shift *= 2
     return v
 
 
-def _row_scan(t, head, jg):
+def _row_scan(t, head, jg, neg):
     """Solve H[j] = max(t[j], H[j-1] + gap) for j = 1..N with H[0] = head.
 
     jg must be the (1-based) column index times gap.  Sublane j-1 holds
     column j.
     """
     v = jnp.maximum(t - jg, _shift_down(t - jg, 1, head))  # head enters at j=1
-    return _prefix_max(v) + jg
+    return _prefix_max(v, neg) + jg
 
 
 # ---------------------------------------------------------------------------
@@ -99,18 +104,22 @@ def _row_scan(t, head, jg):
 # ---------------------------------------------------------------------------
 
 
-def _linear_row_update(algo, p, ref, qi, prev, border_prev, border_cur, jg):
+def _linear_row_update(algo, p, sdt, neg, ref, qi, prev, border_prev,
+                       border_cur, jg, want_dirs=True):
     """One DP row for LNW/LSW/BSW.  Returns (row, dir4) with dir4 the packed
-    4-bit code per cell (band masking applied by the caller for BSW)."""
-    gap = jnp.int32(p.gap)
+    4-bit code per cell (band masking applied by the caller for BSW), or
+    dir4=None in the scores-only fast path."""
+    gap = sdt(p.gap)
     is_match = ref == qi
-    w = jnp.where(is_match, jnp.int32(p.match), jnp.int32(p.mismatch))
+    w = jnp.where(is_match, sdt(p.match), sdt(p.mismatch))
     diag = _shift_down(prev, 1, border_prev)
     mm = diag + w
     dele = prev + gap
     if algo is Algorithm.LNW:
         t = jnp.maximum(mm, dele)
-        row = _row_scan(t, border_cur, jg)
+        row = _row_scan(t, border_cur, jg, neg)
+        if not want_dirs:
+            return row, None
         ins = _shift_down(row, 1, border_cur) + gap
         # direction chain (c++/LinearNeedlemanWunsch.cpp:122-126):
         # best=mm; dele >= best -> DEL; ins >= best -> INS
@@ -119,9 +128,11 @@ def _linear_row_update(algo, p, ref, qi, prev, border_prev, border_cur, jg):
         d = jnp.where(ins >= t, D.MAIN_QUERY_INSERTION, d)
         return row, d
     # local: LSW / BSW (cuda/LinearSmithWaterman.cu:116-137 tie chain)
-    t = jnp.maximum(jnp.maximum(mm, dele), jnp.int32(0))
-    row = _row_scan(t, jnp.int32(0), jg)
-    ins = _shift_down(row, 1, jnp.int32(0)) + gap
+    t = jnp.maximum(jnp.maximum(mm, dele), sdt(0))
+    row = _row_scan(t, sdt(0), jg, neg)
+    if not want_dirs:
+        return row, None
+    ins = _shift_down(row, 1, sdt(0)) + gap
     d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
     best = mm
     d = jnp.where(ins >= best, D.MAIN_QUERY_INSERTION, d)
@@ -132,15 +143,15 @@ def _linear_row_update(algo, p, ref, qi, prev, border_prev, border_cur, jg):
     return row, d
 
 
-def _affine_row_update(p, ref, qi, h_prev, f_prev, border_prev, border_cur,
-                       jge, is_first_row):
+def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
+                       border_cur, jge, is_first_row, want_dirs=True):
     """One Gotoh row (c++/AffineNeedlemanWunsch.cpp:167-242).
 
     Returns (h_row, f_row, dir4).
     """
-    go, ge = jnp.int32(p.gap_open), jnp.int32(p.gap_extend)
+    go, ge = sdt(p.gap_open), sdt(p.gap_extend)
     is_match = ref == qi
-    w = jnp.where(is_match, jnp.int32(p.match), jnp.int32(p.mismatch))
+    w = jnp.where(is_match, sdt(p.match), sdt(p.mismatch))
     diag = _shift_down(h_prev, 1, border_prev)
     mm = diag + w
     # F (query deletion): open vs extend; row 1 forces GAP_OPEN
@@ -154,11 +165,13 @@ def _affine_row_update(p, ref, qi, h_prev, f_prev, border_prev, border_cur,
     #   E[1] = H[i][0]+go+ge;  E[j] = max(C[j-1]+go+ge, E[j-1]+ge)
     c = jnp.maximum(mm, f_row)
     a = _shift_down(c, 1, border_cur) + go + ge  # a[0] = H[i][0]+go+ge
-    e_row = _row_scan(a, NEG, jge)  # no head candidate
+    e_row = _row_scan(a, neg, jge, neg)  # no head candidate
     h_row = jnp.maximum(c, e_row)
+    if not want_dirs:
+        return h_row, f_row, None
     # E dirs use the true-H comparison (col 1 forced OPEN):
-    open_e = _shift_down(h_row, 1, jnp.int32(0)) + go + ge
-    ext_e = _shift_down(e_row, 1, NEG) + ge
+    open_e = _shift_down(h_row, 1, sdt(0)) + go + ge
+    ext_e = _shift_down(e_row, 1, neg) + ge
     col1 = _ref_iota(h_row.shape) == 0
     e_ext_bit = jnp.where(
         jnp.logical_or(col1, open_e >= ext_e), 0, D.BIT_E_EXTEND
@@ -176,10 +189,12 @@ def _affine_row_update(p, ref, qi, h_prev, f_prev, border_prev, border_cur,
 
 
 def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
-                 with_traceback: bool):
+                 with_traceback: bool, score_dtype=jnp.int32):
     is_local = algo.is_local
     is_affine = algo.is_affine
     band = p.band
+    sdt = score_dtype
+    neg = _neg_for(score_dtype)
 
     def kernel(ref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
         if with_traceback:
@@ -195,8 +210,8 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
         num_mw = pl.num_programs(1)
         shape = (n_cols, tile_p)
         jj0 = _ref_iota(shape)  # 0-based ref position; DP column j = jj0+1
-        jg = (jj0 + 1) * jnp.int32(p.gap)
-        jge = (jj0 + 1) * jnp.int32(p.gap_extend)
+        jg = ((jj0 + 1) * jnp.int32(p.gap)).astype(sdt)
+        jge = ((jj0 + 1) * jnp.int32(p.gap_extend)).astype(sdt)
         rlen = rlen_ref[0:1, :]  # (1, P)
         qlen = qlen_ref[0:1, :]
         ref = ref_ref[:, :].astype(jnp.int32)
@@ -205,14 +220,14 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
         @pl.when(mw == 0)
         def _init():
             if is_local:
-                prev_s[:, :] = jnp.zeros(shape, jnp.int32)
+                prev_s[:, :] = jnp.zeros(shape, sdt)
             elif is_affine:
                 # H[0][j] = go + j*ge (c++/AffineNeedlemanWunsch.cpp:43-53)
-                prev_s[:, :] = jnp.int32(p.gap_open) + jge
-                f_s[:, :] = jnp.full(shape, NEG, jnp.int32)
+                prev_s[:, :] = sdt(p.gap_open) + jge
+                f_s[:, :] = jnp.full(shape, neg, sdt)
             else:
                 prev_s[:, :] = jg  # H[0][j] = j*gap
-            final_s[:, :] = jnp.zeros(shape, jnp.int32)
+            final_s[:, :] = jnp.zeros(shape, sdt)
             best_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             bcol_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
@@ -226,13 +241,14 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
         def borders(i):
             """(H[i-1][0], H[i][0]) for 1-based (traced) row i."""
             if is_local:
-                return jnp.int32(0), jnp.int32(0)
+                return sdt(0), sdt(0)
             if is_affine:
                 go, ge = jnp.int32(p.gap_open), jnp.int32(p.gap_extend)
                 # H[0][0] = 0; H[i][0] = go + i*ge for i >= 1
-                return jnp.where(i == 1, 0, go + (i - 1) * ge), go + i * ge
+                return (jnp.where(i == 1, 0, go + (i - 1) * ge).astype(sdt),
+                        (go + i * ge).astype(sdt))
             g = jnp.int32(p.gap)
-            return (i - 1) * g, i * g
+            return ((i - 1) * g).astype(sdt), (i * g).astype(sdt)
 
         for r in range(ROWS_PER_STEP):
             i = mw * ROWS_PER_STEP + r + 1  # 1-based DP row (traced scalar)
@@ -240,25 +256,31 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             b_prev, b_cur = borders(i)
             if is_affine:
                 row, f_prev, d4 = _affine_row_update(
-                    p, ref, qi, prev, f_prev, b_prev, b_cur, jge, i == 1
+                    p, sdt, neg, ref, qi, prev, f_prev, b_prev, b_cur, jge,
+                    i == 1, want_dirs=with_traceback
                 )
             else:
                 row, d4 = _linear_row_update(
-                    algo, p, ref, qi, prev, b_prev, b_cur, jg
+                    algo, p, sdt, neg, ref, qi, prev, b_prev, b_cur, jg,
+                    want_dirs=with_traceback
                 )
             if algo.is_banded:
                 # python/LinearBandedSmithWaterman.py:71 band clamp
                 jj = jj0 + 1
                 in_band = jnp.logical_and(jj >= i - band + 1, jj <= i + band - 1)
                 row = jnp.where(in_band, row, 0)
-                d4 = jnp.where(in_band, d4, D.BIT_LOCAL_STOP)
+                if with_traceback:
+                    d4 = jnp.where(in_band, d4, D.BIT_LOCAL_STOP)
             row_valid = i <= qlen  # (1, P): row within true query length
 
             if is_local:
                 # first-occurrence row-major argmax
                 # (cuda/LinearSmithWaterman.cu:300-311: strict '>' keeps the
                 # earliest row; min-position keeps the earliest column)
-                masked = jnp.where(jnp.logical_and(lane_ok, row_valid), row, NEG)
+                # (Mosaic cannot reduce int16 -- reduce in int32)
+                masked = jnp.where(
+                    jnp.logical_and(lane_ok, row_valid), row, neg
+                ).astype(jnp.int32)
                 row_best = jnp.max(masked, axis=0, keepdims=True)
                 row_col = jnp.min(
                     jnp.where(masked == row_best, jj0, jnp.int32(n_cols)),
@@ -276,7 +298,10 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             prev = row
 
         if with_traceback:
-            dirs_ref[0, :, :] = acc
+            # transpose in VMEM so each pair's word-row is contiguous in HBM
+            # (avoids a separate full-array XLA transpose that would
+            # re-stream the whole direction tensor through HBM)
+            dirs_ref[0, :, :] = acc.T
 
         prev_s[:, :] = prev
         if is_affine:
@@ -293,7 +318,8 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             else:
                 # global score = H[qlen][rlen]: position rlen-1 of final row
                 score = jnp.max(
-                    jnp.where(jj0 == rlen - 1, final_row, NEG),
+                    jnp.where(jj0 == rlen - 1, final_row, neg)
+                    .astype(jnp.int32),
                     axis=0, keepdims=True,
                 )
                 srow, scol = qlen, rlen
@@ -318,7 +344,10 @@ class BucketFill:
     scores:    (B,) int32 -- global score (LNW/ANW) or local max (LSW/BSW)
     start_row: (B,) int32 -- traceback start row (qlen/rlen for global)
     start_col: (B,) int32
-    dirs:      (B, ceil(M/8), N) int32 packed 4-bit direction words, or None
+    dirs:      (ceil(M/8), B, N) int32 packed 4-bit direction words, or
+               None.  Word-major layout: pair b's word for DP rows
+               8k+1..8k+8 and column j is dirs[k, b, j-1]; each pair's
+               word-row is a contiguous N-vector.
     """
 
     scores: np.ndarray
@@ -329,6 +358,16 @@ class BucketFill:
 
 def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _score_dtype(params: AlignmentParams, m: int, n: int):
+    """Score dtype selection.  int16 state (the V18/V19 s16x2 trick) is
+    plumbed through the kernel but currently disabled: Mosaic cannot lower
+    sub-32-bit rotates ("Rotate with non-32-bit data"), and the v5e VPU has
+    32-bit lanes, so int16 would not raise throughput anyway.  Revisit on
+    hardware/toolchains with packed 16-bit VPU ops."""
+    del params, m, n
+    return jnp.int32
 
 
 @functools.partial(
@@ -347,7 +386,9 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         tile_p = b  # single batch tile (small buckets / tests)
     mw = m // ROWS_PER_STEP
     grid = (b // tile_p, mw)
-    kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback)
+    sdt = _score_dtype(params, m, n)
+    kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback,
+                          score_dtype=sdt)
     # device layout: pairs on lanes -> transpose host-major (B, *) arrays
     ref_t = ref_tokens.astype(jnp.int32).T  # (N, B)
     qry_t = qry_tokens.astype(jnp.int32).T  # (M, B)
@@ -358,9 +399,9 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         pl.BlockSpec((8, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     ]
     if with_traceback:
-        out_shape.append(jax.ShapeDtypeStruct((mw, n, b), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((mw, b, n), jnp.int32))
         out_specs.append(
-            pl.BlockSpec((1, n, tile_p), lambda i, j: (j, 0, i),
+            pl.BlockSpec((1, tile_p, n), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM)
         )
     in_specs = [
@@ -370,11 +411,11 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
     ]
-    scratch_shapes = [pltpu.VMEM((n, tile_p), jnp.int32)]  # prev H row
+    scratch_shapes = [pltpu.VMEM((n, tile_p), sdt)]  # prev H row
     if algorithm.is_affine:
-        scratch_shapes.append(pltpu.VMEM((n, tile_p), jnp.int32))  # prev F row
+        scratch_shapes.append(pltpu.VMEM((n, tile_p), sdt))  # prev F row
     scratch_shapes += [
-        pltpu.VMEM((n, tile_p), jnp.int32),  # captured final row
+        pltpu.VMEM((n, tile_p), sdt),        # captured final row
         pltpu.VMEM((1, tile_p), jnp.int32),  # local best
         pltpu.VMEM((1, tile_p), jnp.int32),  # local best row
         pltpu.VMEM((1, tile_p), jnp.int32),  # local best col
@@ -396,7 +437,7 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         cost_estimate=cost,
     )(ref_t, qry_t, rlen_t, qlen_t)
     meta = outs[0]
-    dirs = outs[1].transpose(2, 0, 1) if with_traceback else None  # (B, MW, N)
+    dirs = outs[1] if with_traceback else None  # (MW, B, N)
     return meta[0, :], meta[1, :], meta[2, :], dirs
 
 

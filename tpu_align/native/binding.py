@@ -71,7 +71,7 @@ def _configure(lib) -> None:
     i64 = ctypes.c_int64
     lib.ta_traceback_bucket.restype = ctypes.c_int
     lib.ta_traceback_bucket.argtypes = [
-        ctypes.c_int, i64, i64, i64, i64,
+        ctypes.c_int, i64, i64, i64, i64, i64,
         ctypes.POINTER(ctypes.c_int32),  # dirs
         ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
         ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
@@ -106,8 +106,8 @@ def _ptr(arr, ctype):
 
 def native_traceback_bucket(
     algorithm_value: str,
-    dirs: np.ndarray,        # (B, MW, N) int32, C-contiguous
-    ref_tokens: np.ndarray,  # (B, N) uint8
+    dirs: np.ndarray,        # (MW, B_total, N) int32, C-contiguous
+    ref_tokens: np.ndarray,  # (B, N) uint8, B <= B_total
     qry_tokens: np.ndarray,  # (B, M) uint8
     ref_len: np.ndarray,     # (B,) int32
     qry_len: np.ndarray,
@@ -122,7 +122,8 @@ def native_traceback_bucket(
     lib = _load()
     if lib is None:
         return None
-    b, mw, n = dirs.shape
+    mw, b_total, n = dirs.shape
+    b = ref_tokens.shape[0]
     m = qry_tokens.shape[1]
     stride = m + n
     dirs = np.ascontiguousarray(dirs, np.int32)
@@ -136,7 +137,7 @@ def native_traceback_bucket(
     out_buf = np.zeros((b, 3, stride), np.uint8)
     out_lens = np.zeros(b, np.int32)
     rc = lib.ta_traceback_bucket(
-        _ALGO_CODE[algorithm_value], b, mw, n, m,
+        _ALGO_CODE[algorithm_value], b, b_total, mw, n, m,
         _ptr(dirs, ctypes.c_int32),
         _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
         _ptr(ref_len, ctypes.c_int32), _ptr(qry_len, ctypes.c_int32),

@@ -61,17 +61,27 @@ class AlignmentEngine:
         bucket_spec: BucketSpec | None = None,
         with_traceback: bool = True,
         interpret: bool | None = None,
+        local_mode: str = "single",
     ):
+        """local_mode (local aligners only): "single" follows the CUDA host
+        semantics (one path from the first row-major max cell); "all"
+        enumerates every co-optimal path from every max cell (the CPU
+        BACKTRACK_ALL compile switch, c++/LinearSmithWaterman.h:9) -- this
+        mode needs the score matrix and therefore runs on the oracle path."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
         self.with_traceback = with_traceback
         self.interpret = interpret
+        if local_mode not in ("single", "all"):
+            raise ValueError(f"unknown local_mode {local_mode!r}")
+        self.local_mode = local_mode
 
     def _oracle_fallback(self, ds: PairDataset, i: int) -> AlignmentResult:
         ref, qry = ds.pair(i)
         return align_pair(
-            self.algorithm, self.params, ref, qry, pair_num=i, engine="scalar"
+            self.algorithm, self.params, ref, qry, pair_num=i, engine="scalar",
+            local_mode=self.local_mode,
         )
 
     def warmup(self, ds: PairDataset) -> None:

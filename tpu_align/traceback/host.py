@@ -92,7 +92,7 @@ def traceback_bucket(
         srow = int(fill.start_row[row])
         scol = int(fill.start_col[row])
         main, e_dirs, f_dirs = unpack_pair_dirs(
-            fill.dirs[row], qlen, rlen, algorithm
+            fill.dirs[:, row, :], qlen, rlen, algorithm
         )
         if algorithm.is_affine:
             r, m, q = _walk_anw(main, e_dirs, f_dirs, ref, qry, qlen, rlen)
@@ -116,7 +116,7 @@ def _native_traceback(
     nb = bucket.num_real
     out = native_traceback_bucket(
         algorithm.value,
-        fill.dirs[:nb], bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
+        fill.dirs, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
         bucket.ref_len[:nb], bucket.qry_len[:nb],
         fill.start_row[:nb], fill.start_col[:nb], fill.scores[:nb],
     )
