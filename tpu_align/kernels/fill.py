@@ -354,6 +354,8 @@ class BucketFill:
     start_row: np.ndarray
     start_col: np.ndarray
     dirs: np.ndarray | None
+    band: int | None = None  # set by the banded kernel: dirs are in the
+    #                          skewed (MW, B, 2*band-frame) layout
 
 
 def _default_interpret() -> bool:

@@ -71,7 +71,7 @@ def _configure(lib) -> None:
     i64 = ctypes.c_int64
     lib.ta_traceback_bucket.restype = ctypes.c_int
     lib.ta_traceback_bucket.argtypes = [
-        ctypes.c_int, i64, i64, i64, i64, i64,
+        ctypes.c_int, i64, i64, i64, i64, i64, i64, i64,
         ctypes.POINTER(ctypes.c_int32),  # dirs
         ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
         ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
@@ -115,6 +115,7 @@ def native_traceback_bucket(
     start_col: np.ndarray,
     scores: np.ndarray,
     num_threads: int = 0,
+    skew_band: int = 0,
 ):
     """Walk a whole bucket natively.  Returns (out_buf, out_lens) where
     out_buf is (B, 3, stride) uint8 with left-aligned ref/rel/qry strings of
@@ -122,8 +123,8 @@ def native_traceback_bucket(
     lib = _load()
     if lib is None:
         return None
-    mw, b_total, n = dirs.shape
-    b = ref_tokens.shape[0]
+    mw, b_total, dirs_cols = dirs.shape
+    b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     stride = m + n
     dirs = np.ascontiguousarray(dirs, np.int32)
@@ -137,7 +138,8 @@ def native_traceback_bucket(
     out_buf = np.zeros((b, 3, stride), np.uint8)
     out_lens = np.zeros(b, np.int32)
     rc = lib.ta_traceback_bucket(
-        _ALGO_CODE[algorithm_value], b, b_total, mw, n, m,
+        _ALGO_CODE[algorithm_value], b, b_total, mw, n, dirs_cols,
+        skew_band, m,
         _ptr(dirs, ctypes.c_int32),
         _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
         _ptr(ref_len, ctypes.c_int32), _ptr(qry_len, ctypes.c_int32),

@@ -23,6 +23,7 @@ from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.core.result import AlignmentResult
 from tpu_align.io.bucketing import Bucket, BucketSpec, bucketize
 from tpu_align.io.dataset import PairDataset
+from tpu_align.kernels.banded import fill_banded_bucket_async
 from tpu_align.kernels.fill import BucketFill, fill_bucket_async
 from tpu_align.oracle.api import align_pair
 from tpu_align.runtime.profiler import PhaseTimer
@@ -84,15 +85,29 @@ class AlignmentEngine:
             local_mode=self.local_mode,
         )
 
+    def _dispatch(self, b: Bucket):
+        """Dispatch one bucket's fill.  BSW takes the skewed banded
+        fast-path kernel (O(M*2band) work instead of O(M*N))."""
+        if self.algorithm is Algorithm.BSW:
+            return fill_banded_bucket_async(
+                self.params, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len,
+                with_traceback=self.with_traceback, interpret=self.interpret,
+            )
+        return fill_bucket_async(
+            self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
+            b.ref_len, b.qry_len,
+            with_traceback=self.with_traceback, interpret=self.interpret,
+        )
+
     def warmup(self, ds: PairDataset) -> None:
         """Compile all kernel shapes this dataset needs (keeps compile time
         out of the measured phases)."""
         for b in bucketize(ds, self.bucket_spec):
-            outs = fill_bucket_async(
-                self.algorithm, self.params, b.ref_tokens[:8], b.qry_tokens[:8],
-                b.ref_len[:8], b.qry_len[:8],
-                with_traceback=self.with_traceback, interpret=self.interpret,
+            small = Bucket(
+                b.ref_tokens[:8], b.qry_tokens[:8], b.ref_len[:8],
+                b.qry_len[:8], b.pair_ids[:8], min(b.num_real, 8),
             )
+            outs = self._dispatch(small)
             jax.block_until_ready([o for o in outs if o is not None])
 
     def run(self, ds: PairDataset) -> EngineResult:
@@ -111,12 +126,7 @@ class AlignmentEngine:
         launches: list[tuple[Bucket, tuple]] = []
         with timer.phase("dispatch"):
             for b in buckets:
-                outs = fill_bucket_async(
-                    self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
-                    b.ref_len, b.qry_len,
-                    with_traceback=self.with_traceback, interpret=self.interpret,
-                )
-                launches.append((b, outs))
+                launches.append((b, self._dispatch(b)))
 
         results: list[AlignmentResult] = []
         for b, (scores, srow, scol, dirs) in launches:
@@ -125,6 +135,8 @@ class AlignmentEngine:
                 fill = BucketFill(
                     np.asarray(scores), np.asarray(srow), np.asarray(scol),
                     np.asarray(dirs) if dirs is not None else None,
+                    band=(self.params.band
+                          if self.algorithm is Algorithm.BSW else None),
                 )
             with timer.phase("backtrack"):
                 if self.with_traceback:

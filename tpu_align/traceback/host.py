@@ -62,6 +62,32 @@ def unpack_pair_dirs(
     return main_dirs, e_dirs, f_dirs
 
 
+def unpack_banded_pair_dirs(
+    words: np.ndarray, qlen: int, rlen: int, band: int
+):
+    """Decode one pair's skewed banded words (MW, K8) into a full
+    (qlen+1, rlen+1) main-direction matrix (NONE outside the band).
+    Slot k of DP row i is column j = i - band + k
+    (tpu_align/kernels/banded.py layout)."""
+    mw, k8 = words.shape
+    codes = (
+        (words.astype(np.uint32)[:, None, :] >> _SHIFTS) & np.uint32(0xF)
+    ).reshape(mw * 8, k8)[:qlen]
+    main = _MAIN_LUT[codes & 3]
+    main = np.where(codes & D.BIT_LOCAL_STOP, np.uint8(D.NONE), main)
+    main_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
+    i_idx = np.arange(1, qlen + 1)[:, None]
+    k_idx = np.arange(k8)[None, :]
+    jmat = i_idx - band + k_idx
+    valid = (
+        (k_idx >= 1) & (k_idx <= 2 * band - 1) & (jmat >= 1) & (jmat <= rlen)
+    )
+    main_dirs[np.broadcast_to(i_idx, jmat.shape)[valid], jmat[valid]] = (
+        main[valid]
+    )
+    return main_dirs, None, None
+
+
 def traceback_bucket(
     algorithm: Algorithm,
     bucket: Bucket,
@@ -91,9 +117,14 @@ def traceback_bucket(
         score = int(fill.scores[row])
         srow = int(fill.start_row[row])
         scol = int(fill.start_col[row])
-        main, e_dirs, f_dirs = unpack_pair_dirs(
-            fill.dirs[:, row, :], qlen, rlen, algorithm
-        )
+        if fill.band is not None:
+            main, e_dirs, f_dirs = unpack_banded_pair_dirs(
+                fill.dirs[:, row, :], qlen, rlen, fill.band
+            )
+        else:
+            main, e_dirs, f_dirs = unpack_pair_dirs(
+                fill.dirs[:, row, :], qlen, rlen, algorithm
+            )
         if algorithm.is_affine:
             r, m, q = _walk_anw(main, e_dirs, f_dirs, ref, qry, qlen, rlen)
         elif algorithm.is_local:
@@ -119,6 +150,7 @@ def _native_traceback(
         fill.dirs, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
         bucket.ref_len[:nb], bucket.qry_len[:nb],
         fill.start_row[:nb], fill.start_col[:nb], fill.scores[:nb],
+        skew_band=fill.band or 0,
     )
     if out is None:
         return None
