@@ -32,7 +32,7 @@ BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
 
 
 def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
-              batch_pairs=4096, iters=3, algorithm="lnw", verbose=True):
+              batch_pairs=32768, iters=3, algorithm="lnw", verbose=True):
     from tpu_align.core.params import Algorithm, AlignmentParams
     from tpu_align.io import BucketSpec, bucketize
     from tpu_align.kernels.fill import fill_bucket_async
@@ -161,7 +161,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=100_000)
     ap.add_argument("--len", type=int, dest="seq_len", default=250)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--algorithm", default="lnw")
     ap.add_argument("--scores-only", action="store_true")

@@ -52,3 +52,26 @@ def test_engine_file_roundtrip(tmp_path):
     out = align_file(path, Algorithm.LSW)
     ds2 = parse_pair_file(path)
     assert len(out.results) == len(ds2) == 10
+
+
+def test_engine_checkpoint_resume(tmp_path, monkeypatch):
+    ds = synthetic_dataset(24, min_len=8, max_len=40, seed=6)
+    engine = AlignmentEngine(Algorithm.LNW)
+    ckpt = str(tmp_path / "ckpt")
+    first = engine.run(ds, checkpoint_dir=ckpt)
+    import os
+
+    files = [f for f in os.listdir(ckpt) if f.endswith(".json")]
+    assert files
+    # resume must not dispatch any kernel work
+    def boom(*a, **k):
+        raise AssertionError("kernel dispatched on full resume")
+
+    monkeypatch.setattr(engine, "_dispatch", boom)
+    second = engine.run(ds, checkpoint_dir=ckpt)
+    assert second.output_text() == first.output_text()
+    # partial resume: drop one checkpoint, restore dispatch
+    monkeypatch.undo()
+    os.remove(os.path.join(ckpt, files[0]))
+    third = engine.run(ds, checkpoint_dir=ckpt)
+    assert third.output_text() == first.output_text()

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-no-output", action="store_true",
                    help="suppress per-pair blocks; print stats only")
     p.add_argument("-out", default=None, help="write output blocks to file")
+    p.add_argument("-checkpoint-dir", default=None,
+                   help="persist per-batch results; re-runs resume from here")
     return p
 
 
@@ -62,7 +64,7 @@ def main(argv=None) -> int:
         bucket_spec=BucketSpec(batch_pairs=args.batch_pairs),
         with_traceback=not args.scores_only,
     )
-    out = engine.run(ds)
+    out = engine.run(ds, checkpoint_dir=args.checkpoint_dir)
     if not args.no_output:
         text = out.output_text()
         if args.out:

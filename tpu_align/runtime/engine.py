@@ -15,6 +15,9 @@ numCells (c++/parseInput.cpp:100).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
+import os
 
 import jax
 import numpy as np
@@ -110,8 +113,47 @@ class AlignmentEngine:
             outs = self._dispatch(small)
             jax.block_until_ready([o for o in outs if o is not None])
 
-    def run(self, ds: PairDataset) -> EngineResult:
+    def _bucket_key(self, b: Bucket) -> str:
+        """Content hash identifying one bucket's work for checkpointing."""
+        h = hashlib.sha1()
+        h.update(repr((self.algorithm.value, self.params,
+                       self.with_traceback)).encode())
+        for arr in (b.pair_ids, b.ref_len, b.qry_len):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(b.ref_tokens.tobytes())
+        h.update(b.qry_tokens.tobytes())
+        return h.hexdigest()[:24]
+
+    @staticmethod
+    def _load_checkpoint(path: str) -> list[AlignmentResult] | None:
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return [AlignmentResult(*rec) for rec in payload]
+
+    @staticmethod
+    def _save_checkpoint(path: str, results: list[AlignmentResult]) -> None:
+        payload = [
+            [r.pair_num, r.score, r.ref_aligned, r.relation, r.query_aligned]
+            for r in results
+        ]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)  # atomic: a checkpoint is whole or absent
+
+    def run(self, ds: PairDataset,
+            checkpoint_dir: str | None = None) -> EngineResult:
+        """Align a dataset.  With checkpoint_dir set, each bucket's results
+        are persisted after its traceback and already-checkpointed buckets
+        are skipped on re-run -- batch-level resume (the reference's
+        batching makes batches independently restartable in principle but
+        persists nothing, SURVEY.md section 5 "Checkpoint / resume")."""
         timer = PhaseTimer()
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
         # pairs with an empty side cannot enter the kernel (no DP interior);
         # they fall back to the oracle
         empty_idx = np.flatnonzero((ds.ref_len == 0) | (ds.qry_len == 0))
@@ -123,12 +165,25 @@ class AlignmentEngine:
             real = b.pair_ids >= 0
             b.pair_ids[real] = main_idx[b.pair_ids[real]]
 
+        results: list[AlignmentResult] = []
+        pending: list[Bucket] = []
+        if checkpoint_dir:
+            for b in buckets:
+                restored = self._load_checkpoint(
+                    os.path.join(checkpoint_dir, self._bucket_key(b) + ".json")
+                )
+                if restored is not None:
+                    results.extend(restored)
+                else:
+                    pending.append(b)
+        else:
+            pending = buckets
+
         launches: list[tuple[Bucket, tuple]] = []
         with timer.phase("dispatch"):
-            for b in buckets:
+            for b in pending:
                 launches.append((b, self._dispatch(b)))
 
-        results: list[AlignmentResult] = []
         for b, (scores, srow, scol, dirs) in launches:
             with timer.phase("kernel"):
                 # blocks only on this bucket; later kernels keep running
@@ -140,14 +195,23 @@ class AlignmentEngine:
                 )
             with timer.phase("backtrack"):
                 if self.with_traceback:
-                    results.extend(traceback_bucket(self.algorithm, b, fill))
+                    bucket_results = traceback_bucket(self.algorithm, b, fill)
                 else:
-                    for row in range(b.num_real):
-                        results.append(
-                            AlignmentResult(
-                                int(b.pair_ids[row]), int(fill.scores[row])
-                            )
+                    bucket_results = [
+                        AlignmentResult(
+                            int(b.pair_ids[row]), int(fill.scores[row])
                         )
+                        for row in range(b.num_real)
+                    ]
+                results.extend(bucket_results)
+            if checkpoint_dir:
+                with timer.phase("printing"):
+                    self._save_checkpoint(
+                        os.path.join(
+                            checkpoint_dir, self._bucket_key(b) + ".json"
+                        ),
+                        bucket_results,
+                    )
         with timer.phase("backtrack"):
             for i in empty_idx:
                 results.append(self._oracle_fallback(ds, int(i)))
