@@ -33,6 +33,9 @@ BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
 
 def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
               batch_pairs=32768, iters=3, algorithm="lnw", verbose=True):
+    from tpu_align.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from tpu_align.core.params import Algorithm, AlignmentParams
     from tpu_align.io import BucketSpec, bucketize
     from tpu_align.kernels.fill import fill_bucket_async
@@ -129,7 +132,9 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     from tpu_align.io.bucketing import BucketSpec
     from tpu_align.runtime.engine import AlignmentEngine
     from tpu_align.utils import synthetic_dataset
+    from tpu_align.utils.cache import enable_compile_cache
 
+    enable_compile_cache()
     algo = Algorithm(algorithm)
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
     ds = synthetic_dataset(num_pairs, uniform_len=seq_len, seed=42)

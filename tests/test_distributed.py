@@ -68,3 +68,26 @@ def test_entry_compiles():
     scores, dirs = jax.jit(fn)(*example_args)
     jax.block_until_ready((scores, dirs))
     assert scores.shape[0] == example_args[0].shape[0]
+
+
+def test_host_shard_and_merge(tmp_path):
+    from tpu_align.core.params import AlignmentParams
+    from tpu_align.distributed import host_shard, merge_output_files, renumber
+    from tpu_align.oracle.api import align_batch
+
+    ds = synthetic_dataset(20, min_len=5, max_len=20, seed=21)
+    params = AlignmentParams()
+    paths = []
+    for pi in range(3):  # simulate 3 hosts
+        shard, ids = host_shard(ds, process_index=pi, process_count=3)
+        results = align_batch(Algorithm.LNW, params, list(shard.pairs()))
+        renumber(results, ids)
+        p = tmp_path / f"out_{pi}.txt"
+        p.write_text("".join(r.block() for r in results))
+        paths.append(p)
+    merged = tmp_path / "merged.txt"
+    merge_output_files(paths, merged)
+    want = "".join(
+        r.block() for r in align_batch(Algorithm.LNW, params, list(ds.pairs()))
+    )
+    assert merged.read_text() == want

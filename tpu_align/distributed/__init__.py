@@ -6,10 +6,20 @@ from tpu_align.distributed.sharding import (
     make_pairs_mesh,
     shard_bucket_spec,
 )
+from tpu_align.distributed.multihost import (
+    host_shard,
+    initialize,
+    merge_output_files,
+    renumber,
+)
 
 __all__ = [
     "fill_sharded",
     "global_stats",
     "make_pairs_mesh",
     "shard_bucket_spec",
+    "host_shard",
+    "initialize",
+    "merge_output_files",
+    "renumber",
 ]
