@@ -89,14 +89,15 @@ def _prefix_max(v, neg):
     return v
 
 
-def _row_scan(t, head, jg, neg):
-    """Solve H[j] = max(t[j], H[j-1] + gap) for j = 1..N with H[0] = head.
-
-    jg must be the (1-based) column index times gap.  Sublane j-1 holds
-    column j.
-    """
-    v = jnp.maximum(t - jg, _shift_down(t - jg, 1, head))  # head enters at j=1
-    return _prefix_max(v, neg) + jg
+def _row_scan(t, head, neg):
+    """Solve G[j] = max(t[j], G[j-1]) for j = 1..N with G[0] = head -- the
+    rank-reduced ("G-space") form of H[j] = max(t[j], H[j-1] + gap) under
+    G[j] = H[j] - j*gap.  All row state lives in G-space so the +-j*gap
+    adjustments vanish from the inner loop; H is reconstructed only where a
+    cross-lane comparison of absolute scores is needed.  Sublane j-1 holds
+    column j."""
+    v = jnp.maximum(t, _shift_down(t, 1, head))  # head enters at j=1
+    return _prefix_max(v, neg)
 
 
 # ---------------------------------------------------------------------------
@@ -105,73 +106,79 @@ def _row_scan(t, head, jg, neg):
 
 
 def _linear_row_update(algo, p, sdt, neg, ref, qi, prev, border_prev,
-                       border_cur, jg, want_dirs=True):
-    """One DP row for LNW/LSW/BSW.  Returns (row, dir4) with dir4 the packed
-    4-bit code per cell (band masking applied by the caller for BSW), or
-    dir4=None in the scores-only fast path."""
+                       border_cur, neg_jg, want_dirs=True):
+    """One DP row for LNW/LSW/BSW in G-space (G = H - j*gap; `prev` and the
+    returned row are G rows; neg_jg is the precomputed -j*gap vector).
+    Returns (row, dir4) with dir4 the packed 4-bit code per cell (band
+    masking applied by the caller for BSW), or dir4=None in the scores-only
+    fast path.  All direction comparisons are shift-invariant, so the
+    `>=` tie chains (c++/LinearNeedlemanWunsch.cpp:122-126,
+    cuda/LinearSmithWaterman.cu:116-137) transfer to G-space verbatim."""
     gap = sdt(p.gap)
     is_match = ref == qi
-    w = jnp.where(is_match, sdt(p.match), sdt(p.mismatch))
-    diag = _shift_down(prev, 1, border_prev)
-    mm = diag + w
-    dele = prev + gap
+    # w - gap folded into the substitution constants
+    wg = jnp.where(is_match, sdt(p.match - p.gap), sdt(p.mismatch - p.gap))
+    mm = _shift_down(prev, 1, border_prev) + wg  # = (diag + w) - j*gap
+    dele = prev + gap                            # = (up + gap) - j*gap
     if algo is Algorithm.LNW:
         t = jnp.maximum(mm, dele)
-        row = _row_scan(t, border_cur, jg, neg)
+        row = _row_scan(t, border_cur, neg)
         if not want_dirs:
             return row, None
-        ins = _shift_down(row, 1, border_cur) + gap
-        # direction chain (c++/LinearNeedlemanWunsch.cpp:122-126):
-        # best=mm; dele >= best -> DEL; ins >= best -> INS
+        ins = _shift_down(row, 1, border_cur)    # = (left + gap) - j*gap
+        # direction chain: best=mm; dele >= best -> DEL; ins >= best -> INS
         d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
         d = jnp.where(dele >= mm, D.MAIN_QUERY_DELETION, d)
         d = jnp.where(ins >= t, D.MAIN_QUERY_INSERTION, d)
         return row, d
-    # local: LSW / BSW (cuda/LinearSmithWaterman.cu:116-137 tie chain)
-    t = jnp.maximum(jnp.maximum(mm, dele), sdt(0))
-    row = _row_scan(t, sdt(0), jg, neg)
+    # local: LSW / BSW; the 0-clamp becomes a clamp at -j*gap in G-space
+    t = jnp.maximum(jnp.maximum(mm, dele), neg_jg)
+    row = _row_scan(t, sdt(0), neg)
     if not want_dirs:
         return row, None
-    ins = _shift_down(row, 1, sdt(0)) + gap
+    ins = _shift_down(row, 1, sdt(0))
     d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
     best = mm
     d = jnp.where(ins >= best, D.MAIN_QUERY_INSERTION, d)
     best = jnp.maximum(best, ins)
     d = jnp.where(dele >= best, D.MAIN_QUERY_DELETION, d)
     best = jnp.maximum(best, dele)
-    d = jnp.where(0 >= best, d | D.BIT_LOCAL_STOP, d)  # clamped cell: stop flag
+    d = jnp.where(neg_jg >= best, d | D.BIT_LOCAL_STOP, d)  # clamped: stop
     return row, d
 
 
 def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
-                       border_cur, jge, is_first_row, want_dirs=True):
-    """One Gotoh row (c++/AffineNeedlemanWunsch.cpp:167-242).
+                       border_cur, is_first_row, want_dirs=True):
+    """One Gotoh row (c++/AffineNeedlemanWunsch.cpp:167-242) in G-space
+    (all of H/E/F carried as X - j*gap_extend; comparisons are
+    shift-invariant, and the E scan collapses to a pure prefix max).
 
-    Returns (h_row, f_row, dir4).
+    Returns (h_row, f_row, dir4), all G rows.
     """
     go, ge = sdt(p.gap_open), sdt(p.gap_extend)
     is_match = ref == qi
-    w = jnp.where(is_match, sdt(p.match), sdt(p.mismatch))
-    diag = _shift_down(h_prev, 1, border_prev)
-    mm = diag + w
+    wge = jnp.where(
+        is_match, sdt(p.match - p.gap_extend), sdt(p.mismatch - p.gap_extend)
+    )
+    mm = _shift_down(h_prev, 1, border_prev) + wge
     # F (query deletion): open vs extend; row 1 forces GAP_OPEN
-    open_f = h_prev + go + ge
+    open_f = h_prev + (go + ge)
     ext_f = f_prev + ge
     f_row = jnp.where(is_first_row, open_f, jnp.maximum(open_f, ext_f))
     f_ext_bit = jnp.where(
         jnp.logical_or(is_first_row, open_f >= ext_f), 0, D.BIT_F_EXTEND
     )
     # E via lazy-F scan over C = max(mm, F):
-    #   E[1] = H[i][0]+go+ge;  E[j] = max(C[j-1]+go+ge, E[j-1]+ge)
+    #   E_G[j] = max(C_G[j-1] + go, E_G[j-1])
     c = jnp.maximum(mm, f_row)
-    a = _shift_down(c, 1, border_cur) + go + ge  # a[0] = H[i][0]+go+ge
-    e_row = _row_scan(a, neg, jge, neg)  # no head candidate
+    a = _shift_down(c, 1, border_cur) + go
+    e_row = _row_scan(a, neg, neg)  # no head candidate
     h_row = jnp.maximum(c, e_row)
     if not want_dirs:
         return h_row, f_row, None
     # E dirs use the true-H comparison (col 1 forced OPEN):
-    open_e = _shift_down(h_row, 1, sdt(0)) + go + ge
-    ext_e = _shift_down(e_row, 1, neg) + ge
+    open_e = _shift_down(h_row, 1, sdt(0)) + go
+    ext_e = _shift_down(e_row, 1, neg)
     col1 = _ref_iota(h_row.shape) == 0
     e_ext_bit = jnp.where(
         jnp.logical_or(col1, open_e >= ext_e), 0, D.BIT_E_EXTEND
@@ -210,8 +217,10 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
         num_mw = pl.num_programs(1)
         shape = (n_cols, tile_p)
         jj0 = _ref_iota(shape)  # 0-based ref position; DP column j = jj0+1
-        jg = ((jj0 + 1) * jnp.int32(p.gap)).astype(sdt)
-        jge = ((jj0 + 1) * jnp.int32(p.gap_extend)).astype(sdt)
+        # all row state is G-space: G = H - j*gap (j*gap_extend for affine)
+        g_unit = p.gap_extend if is_affine else p.gap
+        jg = ((jj0 + 1) * jnp.int32(g_unit)).astype(sdt)
+        neg_jg = -jg
         rlen = rlen_ref[0:1, :]  # (1, P)
         qlen = qlen_ref[0:1, :]
         ref = ref_ref[:, :].astype(jnp.int32)
@@ -220,13 +229,13 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
         @pl.when(mw == 0)
         def _init():
             if is_local:
-                prev_s[:, :] = jnp.zeros(shape, sdt)
+                prev_s[:, :] = neg_jg  # H[0][j] = 0
             elif is_affine:
                 # H[0][j] = go + j*ge (c++/AffineNeedlemanWunsch.cpp:43-53)
-                prev_s[:, :] = sdt(p.gap_open) + jge
+                prev_s[:, :] = jnp.full(shape, p.gap_open, sdt)
                 f_s[:, :] = jnp.full(shape, neg, sdt)
             else:
-                prev_s[:, :] = jg  # H[0][j] = j*gap
+                prev_s[:, :] = jnp.zeros(shape, sdt)  # H[0][j] = j*gap
             final_s[:, :] = jnp.zeros(shape, sdt)
             best_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
@@ -256,19 +265,19 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             b_prev, b_cur = borders(i)
             if is_affine:
                 row, f_prev, d4 = _affine_row_update(
-                    p, sdt, neg, ref, qi, prev, f_prev, b_prev, b_cur, jge,
+                    p, sdt, neg, ref, qi, prev, f_prev, b_prev, b_cur,
                     i == 1, want_dirs=with_traceback
                 )
             else:
                 row, d4 = _linear_row_update(
-                    algo, p, sdt, neg, ref, qi, prev, b_prev, b_cur, jg,
+                    algo, p, sdt, neg, ref, qi, prev, b_prev, b_cur, neg_jg,
                     want_dirs=with_traceback
                 )
             if algo.is_banded:
                 # python/LinearBandedSmithWaterman.py:71 band clamp
                 jj = jj0 + 1
                 in_band = jnp.logical_and(jj >= i - band + 1, jj <= i + band - 1)
-                row = jnp.where(in_band, row, 0)
+                row = jnp.where(in_band, row, neg_jg)  # H = 0 in G-space
                 if with_traceback:
                     d4 = jnp.where(in_band, d4, D.BIT_LOCAL_STOP)
             row_valid = i <= qlen  # (1, P): row within true query length
@@ -279,7 +288,7 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
                 # earliest row; min-position keeps the earliest column)
                 # (Mosaic cannot reduce int16 -- reduce in int32)
                 masked = jnp.where(
-                    jnp.logical_and(lane_ok, row_valid), row, neg
+                    jnp.logical_and(lane_ok, row_valid), row + jg, neg
                 ).astype(jnp.int32)
                 row_best = jnp.max(masked, axis=0, keepdims=True)
                 row_col = jnp.min(
@@ -316,12 +325,13 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             if is_local:
                 score, srow, scol = best, brow, bcol
             else:
-                # global score = H[qlen][rlen]: position rlen-1 of final row
+                # global score = H[qlen][rlen]: position rlen-1 of the final
+                # G row, plus the rank restoration rlen * gap
                 score = jnp.max(
                     jnp.where(jj0 == rlen - 1, final_row, neg)
                     .astype(jnp.int32),
                     axis=0, keepdims=True,
-                )
+                ) + rlen * jnp.int32(g_unit)
                 srow, scol = qlen, rlen
             out_rows = _ref_iota((8, tile_p))
             meta = jnp.where(out_rows == 0, score, 0)
