@@ -93,15 +93,18 @@ def _make_banded_kernel(p: AlignmentParams, k8: int, tile_p: int,
         num_mw = pl.num_programs(1)
         shape = (k8, tile_p)
         kk = _ref_iota(shape)  # slot index
+        # row state is G-space over the slot index: G = H - k*gap
         kg = kk * jnp.int32(p.gap)
+        neg_kg = -kg
         rlen = rlen_ref[0:1, :]
         qlen = qlen_ref[0:1, :]
         gap = jnp.int32(p.gap)
+        gap2 = jnp.int32(2 * p.gap)
         static_band = jnp.logical_and(kk >= 1, kk <= 2 * band - 1)
 
         @pl.when(mw == 0)
         def _init():
-            prev_s[:, :] = jnp.zeros(shape, jnp.int32)
+            prev_s[:, :] = neg_kg  # H = 0 everywhere in row 0
             best_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             bcol_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
@@ -125,19 +128,20 @@ def _make_banded_kernel(p: AlignmentParams, k8: int, tile_p: int,
             )
             is_match = refwin == qi
             w = jnp.where(is_match, jnp.int32(p.match), jnp.int32(p.mismatch))
-            mm = prev + w  # diag needs no shift in the skewed frame
-            dele = _shift_up_k(prev, jnp.int32(0)) + gap
-            t = jnp.maximum(jnp.maximum(mm, dele), jnp.int32(0))
-            t = jnp.where(valid, t, 0)
-            # left-dependency scan over the K slots
-            v = t - kg
-            v = jnp.maximum(v, _shift_down_k(v, NEG))
-            row = _prefix_max_k(v) + kg
-            row = jnp.where(valid, row, 0)
+            mm = prev + w  # diag: no shift AND no rank change in the skew
+            # up is slot k+1 of the previous row: G[k+1] = H - (k+1)g, so
+            # the rank shift contributes one extra gap: dele_G = G[k+1] + 2g
+            dele = _shift_up_k(prev, NEG) + gap2
+            t = jnp.maximum(jnp.maximum(mm, dele), neg_kg)
+            t = jnp.where(valid, t, neg_kg)
+            # left-dependency scan over the K slots (pure prefix max in G)
+            v = jnp.maximum(t, _shift_down_k(t, NEG))
+            row = _prefix_max_k(v)
+            row = jnp.where(valid, row, neg_kg)  # out-of-band: H = 0
 
             # first-occurrence row-major argmax (strict '>' keeps the
             # earliest row; min-j keeps the earliest column)
-            masked = jnp.where(valid, row, NEG)
+            masked = jnp.where(valid, row + kg, NEG)
             row_best = jnp.max(masked, axis=0, keepdims=True)
             row_col = jnp.min(
                 jnp.where(masked == row_best, jv, jnp.int32(2**30)),
@@ -149,14 +153,14 @@ def _make_banded_kernel(p: AlignmentParams, k8: int, tile_p: int,
             bcol = jnp.where(upd, row_col, bcol)
 
             if with_traceback:
-                ins = _shift_down_k(row, jnp.int32(0)) + gap
+                ins = _shift_down_k(row, NEG)  # = (left + gap) - k*gap
                 d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
                 b2 = mm
                 d = jnp.where(ins >= b2, D.MAIN_QUERY_INSERTION, d)
                 b2 = jnp.maximum(b2, ins)
                 d = jnp.where(dele >= b2, D.MAIN_QUERY_DELETION, d)
                 b2 = jnp.maximum(b2, dele)
-                d = jnp.where(0 >= b2, d | D.BIT_LOCAL_STOP, d)
+                d = jnp.where(neg_kg >= b2, d | D.BIT_LOCAL_STOP, d)
                 d = jnp.where(valid, d, D.BIT_LOCAL_STOP)
                 acc = acc | (d << (4 * r))
             prev = row
