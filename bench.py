@@ -32,7 +32,8 @@ BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
 
 
 def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
-              batch_pairs=32768, iters=3, algorithm="lnw", verbose=True):
+              batch_pairs=32768, iters=3, algorithm="lnw", verbose=True,
+              profile_dir=None):
     from tpu_align.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -98,6 +99,12 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
         rtts.append(time.perf_counter() - t0)
     rtt = min(rtts)
     log(f"round-trip baseline: {rtt * 1e3:.1f} ms")
+
+    if profile_dir:
+        # jax.profiler trace of one sweep (open with TensorBoard / xprof)
+        with jax.profiler.trace(profile_dir):
+            dispatch_all()
+        log(f"profiler trace written to {profile_dir}")
 
     reps = 4
     times = []
@@ -174,6 +181,8 @@ def main():
                     help="end-to-end engine bench with phase breakdown "
                          "(vs_baseline: reference V12 total 440.6 ms / 100k)")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of one sweep to DIR")
     args = ap.parse_args()
     if args.engine:
         result = run_engine_bench(
@@ -186,6 +195,7 @@ def main():
             num_pairs=args.pairs, seq_len=args.seq_len,
             with_traceback=not args.scores_only, batch_pairs=args.batch,
             iters=args.iters, algorithm=args.algorithm, verbose=not args.quiet,
+            profile_dir=args.profile,
         )
     print(json.dumps(result))
 

@@ -100,3 +100,19 @@ def test_local_start_cell_semantics(rng):
             got = (int(fill.scores[row]), int(fill.start_row[row]),
                    int(fill.start_col[row]))
             assert got == want, f"pair {i}: {got} != {want}"
+
+
+def test_long_sequences(rng):
+    """Long-reference support: the query-block grid streams the fill and the
+    raised VMEM budget covers wide rows (tested to 2kbp on hardware)."""
+    pairs = [(random_dna(rng, 500, 520), random_dna(rng, 500, 520))
+             for _ in range(2)]
+    _run_and_compare(Algorithm.LNW, PARAMS, pairs)
+
+
+def test_small_batch_padding(rng):
+    """Batches are padded to full 128-lane tiles internally; tiny buckets
+    must still produce correct results for their real rows."""
+    pairs = [(random_dna(rng, 4, 30), random_dna(rng, 4, 30))
+             for _ in range(3)]
+    _run_and_compare(Algorithm.ANW, PARAMS, pairs)

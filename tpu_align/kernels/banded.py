@@ -45,6 +45,7 @@ from tpu_align.kernels.fill import (
     TILE_P,
     BucketFill,
     _default_interpret,
+    _pad_batch,
     _ref_iota,
 )
 
@@ -192,11 +193,15 @@ def _fill_banded_jit(params, ref_tokens, qry_tokens, ref_len, qry_len,
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     assert m % ROWS_PER_STEP == 0, (b, m, n)
-    if b % TILE_P == 0:
-        tile_p = TILE_P
-    else:
-        assert b % 8 == 0, b
-        tile_p = b
+    bp = _pad_batch(b)
+    if bp != b:
+        ref_tokens = jnp.pad(ref_tokens, ((0, bp - b), (0, 0)))
+        qry_tokens = jnp.pad(qry_tokens, ((0, bp - b), (0, 0)),
+                             constant_values=1)
+        ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
+        qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
+        b = bp
+    tile_p = TILE_P
     k8 = frame_width(params.band)
     mw = m // ROWS_PER_STEP
     grid = (b // tile_p, mw)
@@ -244,6 +249,12 @@ def _fill_banded_jit(params, ref_tokens, qry_tokens, ref_len, qry_len,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        # long references blow past the 16MB default scoped-VMEM budget
+        # (the unrolled 8-row loop keeps many (N, 128) temporaries live);
+        # v5e has 128MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=16 * b * m * k8, bytes_accessed=b * (m + n) * 4,
             transcendentals=0,

@@ -382,20 +382,31 @@ def _score_dtype(params: AlignmentParams, m: int, n: int):
     return jnp.int32
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("algorithm", "params", "with_traceback", "interpret"),
-)
+def _pad_batch(b):
+    """Round the pair count up to a whole number of 128-lane tiles.
+
+    A (N, P) array with P < 128 still occupies 128 physical lanes per vreg,
+    so small-P tiles waste VMEM proportionally (OOM at large N); full tiles
+    also keep every kernel shape uniform."""
+    return -(-b // TILE_P) * TILE_P
+
+
+@functools.partial(jax.jit, static_argnames=("algorithm", "params",
+                                             "with_traceback", "interpret"))
 def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
               with_traceback=True, interpret=False):
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     assert n % 128 == 0 and m % ROWS_PER_STEP == 0, (b, m, n)
-    if b % TILE_P == 0:
-        tile_p = TILE_P
-    else:
-        assert b % 8 == 0, b
-        tile_p = b  # single batch tile (small buckets / tests)
+    bp = _pad_batch(b)
+    if bp != b:
+        ref_tokens = jnp.pad(ref_tokens, ((0, bp - b), (0, 0)))
+        qry_tokens = jnp.pad(qry_tokens, ((0, bp - b), (0, 0)),
+                             constant_values=1)
+        ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
+        qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
+        b = bp
+    tile_p = TILE_P
     mw = m // ROWS_PER_STEP
     grid = (b // tile_p, mw)
     sdt = _score_dtype(params, m, n)
@@ -446,10 +457,17 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        # long references blow past the 16MB default scoped-VMEM budget
+        # (the unrolled 8-row loop keeps many (N, 128) temporaries live);
+        # v5e has 128MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         cost_estimate=cost,
     )(ref_t, qry_t, rlen_t, qlen_t)
     meta = outs[0]
-    dirs = outs[1] if with_traceback else None  # (MW, B, N)
+    # dirs stay batch-padded ((MW, B_padded, N)); consumers index real rows
+    dirs = outs[1] if with_traceback else None
     return meta[0, :], meta[1, :], meta[2, :], dirs
 
 
