@@ -30,7 +30,6 @@ constexpr int kQueryDeletion = 2;
 constexpr int kQueryInsertion = 3;
 constexpr int kBitEExtend = 4;  // affine E from GAP_EXTEND
 constexpr int kBitFExtend = 8;  // affine F from GAP_EXTEND
-constexpr int kBitLocalStop = 4;  // local cell clamped to 0
 
 constexpr char kGapChar = '_';
 constexpr char kRelMatch = '*';
@@ -46,10 +45,13 @@ constexpr int kAlgoBSW = 3;
 struct PackedDirs {
   // One pair's view into the (mw, b_total, n) word tensor: `words` points
   // at the pair's first word-row; consecutive word-rows are `stride` apart.
+  // `bits` is the per-cell width: 2 for the linear aligners (16 rows/word),
+  // 4 for affine (8 rows/word).
   const int32_t* words;
   int64_t stride;
+  int bits;
 
-  // 4-bit code of interior DP cell (i, j), 1-based, i <= 8*mw, j <= n
+  // packed code of interior DP cell (i, j), 1-based
   inline int code(int64_t i, int64_t j) const {
     return code_slot(i, j - 1);
   }
@@ -57,8 +59,10 @@ struct PackedDirs {
   // raw 0-based word-column lookup (used by the banded skewed layout)
   inline int code_slot(int64_t i, int64_t slot) const {
     const int64_t r = i - 1;
-    const uint32_t w = static_cast<uint32_t>(words[(r >> 3) * stride + slot]);
-    return static_cast<int>((w >> (4 * (r & 7))) & 0xF);
+    const int per = 32 / bits;
+    const uint32_t w =
+        static_cast<uint32_t>(words[(r / per) * stride + slot]);
+    return static_cast<int>((w >> (bits * (r % per))) & ((1u << bits) - 1));
   }
 };
 
@@ -114,13 +118,16 @@ void walk_nw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
 }
 
 // Local walk (backtrackSW, c++/backtrack.cpp:83-144): stop at the border or
-// at a clamped-to-zero cell (the packed local-stop flag == oracle NONE).
+// when the backward re-score reaches 0 -- along the optimal path
+// H[pred] = H[cell] - move cost, so the remaining score hits 0 exactly at
+// the clamped-to-zero path start (replaces a stored stop flag).
 // skew_band > 0 selects the banded kernel's skewed word layout, where DP
 // cell (i, j) lives in slot k = j - i + band (tpu_align/kernels/banded.py);
 // leaving the band terminates the walk (out-of-band cells are 0).
 void walk_sw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
-             int64_t r, int64_t c, Walker& w, int64_t skew_band) {
-  while (r > 0 && c > 0) {
+             int64_t r, int64_t c, Walker& w, int64_t skew_band,
+             int64_t remaining, int match, int mismatch, int gap) {
+  while (remaining > 0 && r > 0 && c > 0) {
     int cell;
     if (skew_band > 0) {
       const int64_t k = c - r + skew_band;
@@ -129,22 +136,25 @@ void walk_sw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
     } else {
       cell = d.code(r, c);
     }
-    if (cell & kBitLocalStop) break;
     switch (cell & kMainMask) {
       case kDiagMatch:
         w.emit(ref[c - 1], kRelMatch, qry[r - 1]);
+        remaining -= match;
         --r; --c;
         break;
       case kDiagMismatch:
         w.emit(ref[c - 1], kRelMismatch, qry[r - 1]);
+        remaining -= mismatch;
         --r; --c;
         break;
       case kQueryDeletion:
         w.emit(kGapChar, kRelGap, qry[r - 1]);
+        remaining -= gap;
         --r;
         break;
       default:
         w.emit(ref[c - 1], kRelGap, kGapChar);
+        remaining -= gap;
         --c;
         break;
     }
@@ -197,11 +207,11 @@ void walk_anw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
 
 void traceback_range(
     int algo, int64_t lo, int64_t hi, int64_t mw, int64_t b_total, int64_t n,
-    int64_t dirs_cols, int64_t skew_band, int64_t m, const int32_t* dirs,
-    const uint8_t* ref_tokens, const uint8_t* qry_tokens,
-    const int32_t* ref_len, const int32_t* qry_len, const int32_t* start_row,
-    const int32_t* start_col, const int32_t* scores, char* out_buf,
-    int64_t out_stride, int32_t* out_lens) {
+    int64_t dirs_cols, int64_t skew_band, int bits, int match, int mismatch,
+    int gap, int64_t m, const int32_t* dirs, const uint8_t* ref_tokens,
+    const uint8_t* qry_tokens, const int32_t* ref_len, const int32_t* qry_len,
+    const int32_t* start_row, const int32_t* start_col, const int32_t* scores,
+    char* out_buf, int64_t out_stride, int32_t* out_lens) {
   (void)mw;
   Walker w;
   w.reserve(static_cast<size_t>(m + n));
@@ -210,7 +220,7 @@ void traceback_range(
     w.ref_out.clear();
     w.rel_out.clear();
     w.qry_out.clear();
-    const PackedDirs d{dirs + b * dirs_cols, b_total * dirs_cols};
+    const PackedDirs d{dirs + b * dirs_cols, b_total * dirs_cols, bits};
     const uint8_t* ref = ref_tokens + b * n;
     const uint8_t* qry = qry_tokens + b * m;
     if (local && scores[b] <= 0) {
@@ -224,7 +234,8 @@ void traceback_range(
           walk_anw(d, ref, qry, qry_len[b], ref_len[b], w);
           break;
         default:
-          walk_sw(d, ref, qry, start_row[b], start_col[b], w, skew_band);
+          walk_sw(d, ref, qry, start_row[b], start_col[b], w, skew_band,
+                  scores[b], match, mismatch, gap);
           break;
       }
       const int64_t len = static_cast<int64_t>(w.ref_out.size());
@@ -256,11 +267,11 @@ extern "C" {
 // ---------------------------------------------------------------------------
 int ta_traceback_bucket(
     int algo, int64_t batch, int64_t b_total, int64_t mw, int64_t n,
-    int64_t dirs_cols, int64_t skew_band, int64_t m, const int32_t* dirs,
-    const uint8_t* ref_tokens, const uint8_t* qry_tokens,
-    const int32_t* ref_len, const int32_t* qry_len, const int32_t* start_row,
-    const int32_t* start_col, const int32_t* scores, char* out_buf,
-    int64_t out_stride, int32_t* out_lens, int num_threads) {
+    int64_t dirs_cols, int64_t skew_band, int bits, int match, int mismatch,
+    int gap, int64_t m, const int32_t* dirs, const uint8_t* ref_tokens,
+    const uint8_t* qry_tokens, const int32_t* ref_len, const int32_t* qry_len,
+    const int32_t* start_row, const int32_t* start_col, const int32_t* scores,
+    char* out_buf, int64_t out_stride, int32_t* out_lens, int num_threads) {
   if (out_stride < m + n) return -1;
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
@@ -269,9 +280,10 @@ int ta_traceback_bucket(
   num_threads = static_cast<int>(
       std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
   if (num_threads == 1 || batch < 64) {
-    traceback_range(algo, 0, batch, mw, b_total, n, dirs_cols, skew_band, m,
-                    dirs, ref_tokens, qry_tokens, ref_len, qry_len, start_row,
-                    start_col, scores, out_buf, out_stride, out_lens);
+    traceback_range(algo, 0, batch, mw, b_total, n, dirs_cols, skew_band,
+                    bits, match, mismatch, gap, m, dirs, ref_tokens,
+                    qry_tokens, ref_len, qry_len, start_row, start_col,
+                    scores, out_buf, out_stride, out_lens);
     return 0;
   }
   std::vector<std::thread> threads;
@@ -282,9 +294,10 @@ int ta_traceback_bucket(
     const int64_t hi = std::min<int64_t>(lo + chunk, batch);
     if (lo >= hi) break;
     threads.emplace_back(traceback_range, algo, lo, hi, mw, b_total, n,
-                         dirs_cols, skew_band, m, dirs, ref_tokens,
-                         qry_tokens, ref_len, qry_len, start_row, start_col,
-                         scores, out_buf, out_stride, out_lens);
+                         dirs_cols, skew_band, bits, match, mismatch, gap, m,
+                         dirs, ref_tokens, qry_tokens, ref_len, qry_len,
+                         start_row, start_col, scores, out_buf, out_stride,
+                         out_lens);
   }
   for (auto& th : threads) th.join();
   return 0;

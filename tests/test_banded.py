@@ -15,11 +15,11 @@ from tests.conftest import random_dna
 
 def _check(params, pairs, use_native):
     ds = PairDataset.from_pairs(pairs)
-    for b in bucketize(ds, BucketSpec(batch_pairs=64)):
+    for b in bucketize(ds, BucketSpec(batch_pairs=64, query_multiple=176)):
         fill = fill_banded_bucket(params, b.ref_tokens, b.qry_tokens,
                                   b.ref_len, b.qry_len)
         assert fill.band == params.band
-        results = traceback_bucket(Algorithm.BSW, b, fill,
+        results = traceback_bucket(Algorithm.BSW, b, fill, params,
                                    use_native=use_native)
         by_num = {r.pair_num: r for r in results}
         for row in range(b.num_real):
@@ -38,7 +38,7 @@ def _check(params, pairs, use_native):
 @pytest.mark.parametrize("band", [2, 5, 16])
 def test_banded_kernel_matches_oracle(rng, band):
     params = AlignmentParams(band=band)
-    pairs = [(random_dna(rng, 1, 60), random_dna(rng, 1, 50)) for _ in range(24)]
+    pairs = [(random_dna(rng, 1, 60), random_dna(rng, 1, 50)) for _ in range(12)]
     pairs += [("AAAA", "TTTT"), ("A", "A"), ("ACGT" * 40, "ACGT" * 40)]
     _check(params, pairs, use_native=False)
 
@@ -55,7 +55,7 @@ def test_banded_start_cell_semantics(rng):
     params = AlignmentParams(band=6)
     pairs = [(random_dna(rng, 20, 60), random_dna(rng, 20, 60)) for _ in range(8)]
     ds = PairDataset.from_pairs(pairs)
-    for b in bucketize(ds, BucketSpec(batch_pairs=8)):
+    for b in bucketize(ds, BucketSpec(batch_pairs=8, query_multiple=64)):
         fill = fill_banded_bucket(params, b.ref_tokens, b.qry_tokens,
                                   b.ref_len, b.qry_len, with_traceback=False)
         for row in range(b.num_real):

@@ -29,7 +29,7 @@ def test_fill_sharded_matches_oracle():
             bucket.ref_tokens, bucket.qry_tokens, bucket.ref_len, bucket.qry_len,
         )
         s = np.asarray(scores)
-        assert dirs.shape[0] == bucket.batch
+        assert dirs.shape[1] == bucket.batch
         for row in range(bucket.num_real):
             i = int(bucket.pair_ids[row])
             want = align_pair(Algorithm.LNW, params, *ds.pair(i), engine="scalar")

@@ -5,6 +5,10 @@ import numpy as np
 import pytest
 
 from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.io.bucketing import BucketSpec
+
+# coarse buckets: one kernel shape per algorithm (interpret tracing is slow)
+_SPEC = BucketSpec(batch_pairs=64, query_multiple=128)
 from tpu_align.io import parse_pair_file, write_pair_file
 from tpu_align.oracle.api import align_batch
 from tpu_align.runtime import AlignmentEngine
@@ -17,7 +21,7 @@ ALGOS = [Algorithm.LNW, Algorithm.LSW, Algorithm.ANW, Algorithm.BSW]
 @pytest.mark.parametrize("algo", ALGOS)
 def test_engine_matches_oracle_end_to_end(algo):
     ds = synthetic_dataset(40, min_len=8, max_len=120, seed=3)
-    engine = AlignmentEngine(algo)
+    engine = AlignmentEngine(algo, bucket_spec=_SPEC)
     out = engine.run(ds)
     want = align_batch(algo, AlignmentParams(), list(ds.pairs()), engine="scalar")
     want_text = "".join(r.block() for r in want)
@@ -28,7 +32,7 @@ def test_engine_matches_oracle_end_to_end(algo):
 
 def test_engine_scores_only():
     ds = synthetic_dataset(20, min_len=8, max_len=60, seed=4)
-    out = AlignmentEngine(Algorithm.LNW, with_traceback=False).run(ds)
+    out = AlignmentEngine(Algorithm.LNW, bucket_spec=_SPEC, with_traceback=False).run(ds)
     want = align_batch(Algorithm.LNW, AlignmentParams(), list(ds.pairs()))
     assert list(out.scores()) == [r.score for r in want]
     assert all(r.ref_aligned == "" for r in out.results)
@@ -37,7 +41,7 @@ def test_engine_scores_only():
 def test_engine_empty_sequence_fallback(tmp_path):
     path = tmp_path / "p.txt"
     path.write_text("0\nACGT\nAC\n1\n\nACGT\n2\nAC\n\n")
-    out = align_file(path, Algorithm.LNW)
+    out = align_file(path, Algorithm.LNW, bucket_spec=_SPEC)
     assert [r.pair_num for r in out.results] == [0, 1, 2]
     p = AlignmentParams()
     # empty reference: query aligned against all-deletions
@@ -49,14 +53,14 @@ def test_engine_file_roundtrip(tmp_path):
     ds = synthetic_dataset(10, min_len=5, max_len=30, seed=5)
     path = tmp_path / "pairs.txt"
     write_pair_file(path, list(ds.pairs()))
-    out = align_file(path, Algorithm.LSW)
+    out = align_file(path, Algorithm.LSW, bucket_spec=_SPEC)
     ds2 = parse_pair_file(path)
     assert len(out.results) == len(ds2) == 10
 
 
 def test_engine_checkpoint_resume(tmp_path, monkeypatch):
     ds = synthetic_dataset(24, min_len=8, max_len=40, seed=6)
-    engine = AlignmentEngine(Algorithm.LNW)
+    engine = AlignmentEngine(Algorithm.LNW, bucket_spec=_SPEC)
     ckpt = str(tmp_path / "ckpt")
     first = engine.run(ds, checkpoint_dir=ckpt)
     import os

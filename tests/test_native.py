@@ -51,16 +51,16 @@ def test_native_parser_large_roundtrip():
 
 @pytest.mark.parametrize("algo", ALGOS)
 def test_native_traceback_matches_python(rng, algo):
-    pairs = [(random_dna(rng, 1, 70), random_dna(rng, 1, 50)) for _ in range(24)]
+    pairs = [(random_dna(rng, 1, 70), random_dna(rng, 1, 50)) for _ in range(14)]
     # include degenerate local cases (all-mismatch -> score 0)
     pairs += [("AAAA", "TTTT"), ("A", "T")]
     ds = PairDataset.from_pairs(pairs)
     params = AlignmentParams(mismatch=-3)
-    for b in bucketize(ds, BucketSpec(batch_pairs=32)):
+    for b in bucketize(ds, BucketSpec(batch_pairs=32, query_multiple=64)):
         fill = fill_bucket(algo, params, b.ref_tokens, b.qry_tokens,
                            b.ref_len, b.qry_len)
-        got = traceback_bucket(algo, b, fill, use_native=True)
-        want = traceback_bucket(algo, b, fill, use_native=False)
+        got = traceback_bucket(algo, b, fill, params, use_native=True)
+        want = traceback_bucket(algo, b, fill, params, use_native=False)
         assert len(got) == len(want)
         for g, w in zip(got, want):
             assert g == w, f"{algo}: pair {g.pair_num}\n{g.block()}\n{w.block()}"

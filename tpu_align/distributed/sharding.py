@@ -19,8 +19,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.io.bucketing import BucketSpec
@@ -80,7 +83,8 @@ def fill_sharded(
 
     out_specs = (P(PAIRS_AXIS), P(PAIRS_AXIS), P(PAIRS_AXIS))
     if with_traceback:
-        out_specs += (P(PAIRS_AXIS, None, None),)
+        # direction words are word-major: (MW, B, N) -- batch on axis 1
+        out_specs += (P(None, PAIRS_AXIS, None),)
 
     @functools.partial(
         shard_map,
@@ -88,15 +92,19 @@ def fill_sharded(
         in_specs=(P(PAIRS_AXIS, None), P(PAIRS_AXIS, None), P(PAIRS_AXIS),
                   P(PAIRS_AXIS)),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,  # pallas_call out_shapes carry no vma metadata
     )
     def _local_fill(rt, qt, rl, ql):
+        lb = rt.shape[0]
         scores, srow, scol, dirs = _fill_jit(
             algorithm, params, rt, qt, rl, ql,
             with_traceback=with_traceback, interpret=interpret,
         )
+        # the kernel pads each shard to full 128-lane tiles internally;
+        # slice back so shard concatenation preserves global pair order
+        scores, srow, scol = scores[:lb], srow[:lb], scol[:lb]
         if with_traceback:
-            return scores, srow, scol, dirs
+            return scores, srow, scol, dirs[:, :lb, :]
         return scores, srow, scol
 
     outs = _local_fill(
@@ -118,7 +126,7 @@ def global_stats(mesh: Mesh, scores, cells):
         shard_map, mesh=mesh,
         in_specs=(P(PAIRS_AXIS), P(PAIRS_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _reduce(s, c):
         return (

@@ -41,13 +41,14 @@ from tpu_align.core import directions as D
 from tpu_align.core.params import AlignmentParams
 from tpu_align.kernels.fill import (
     NEG,
-    ROWS_PER_STEP,
     TILE_P,
     BucketFill,
     _default_interpret,
     _pad_batch,
     _ref_iota,
 )
+
+ROWS_PER_STEP = 16  # 2-bit codes: 16 query rows per direction word
 
 
 def _round8(x: int) -> int:
@@ -81,8 +82,9 @@ def _prefix_max_k(v):
 
 
 def _make_banded_kernel(p: AlignmentParams, k8: int, tile_p: int,
-                        with_traceback: bool):
+                        with_traceback: bool, unroll=None):
     band = p.band
+    unroll = unroll or ROWS_PER_STEP
 
     def kernel(r2_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
         if with_traceback:
@@ -114,13 +116,12 @@ def _make_banded_kernel(p: AlignmentParams, k8: int, tile_p: int,
         best, brow, bcol = best_s[:, :], brow_s[:, :], bcol_s[:, :]
         acc = jnp.zeros(shape, jnp.int32)
 
-        # the 8 rows of this step need R2[i + k] for i = mw*8+1..mw*8+8
-        ws = r2_ref[pl.ds(mw * ROWS_PER_STEP + 1, k8 + ROWS_PER_STEP), :]
-
-        for r in range(ROWS_PER_STEP):
+        def row_step(r, carry):
+            prev, best, brow, bcol, acc = carry
             i = mw * ROWS_PER_STEP + r + 1  # 1-based DP row (traced)
-            refwin = ws[r : r + k8, :].astype(jnp.int32)
-            qi = qry_ref[r : r + 1, :].astype(jnp.int32)
+            # row i's ref window: R2[i + k] = ref[i - band + k - 1] = ref[j-1]
+            refwin = r2_ref[pl.ds(i, k8), :].astype(jnp.int32)
+            qi = qry_ref[pl.ds(r, 1), :].astype(jnp.int32)
             jv = (i - band) + kk  # DP column of each slot
             valid = jnp.logical_and(
                 static_band,
@@ -160,11 +161,22 @@ def _make_banded_kernel(p: AlignmentParams, k8: int, tile_p: int,
                 d = jnp.where(ins >= b2, D.MAIN_QUERY_INSERTION, d)
                 b2 = jnp.maximum(b2, ins)
                 d = jnp.where(dele >= b2, D.MAIN_QUERY_DELETION, d)
-                b2 = jnp.maximum(b2, dele)
-                d = jnp.where(neg_kg >= b2, d | D.BIT_LOCAL_STOP, d)
-                d = jnp.where(valid, d, D.BIT_LOCAL_STOP)
-                acc = acc | (d << (4 * r))
-            prev = row
+                # clamped / out-of-band cells need no stop marker: the
+                # walker's band bounds-check and re-score stop cover them
+                acc = acc | (d << (2 * r))
+            return row, best, brow, bcol, acc
+
+        def block_step(q, carry):
+            # full unroll on the compiled path (Mosaic cross-row
+            # pipelining); small blocks in interpret (trace time)
+            for sub in range(unroll):
+                carry = row_step(q * unroll + sub, carry)
+            return carry
+
+        prev, best, brow, bcol, acc = jax.lax.fori_loop(
+            0, ROWS_PER_STEP // unroll, block_step,
+            (prev, best, brow, bcol, acc)
+        )
 
         if with_traceback:
             dirs_ref[0, :, :] = acc.T
@@ -192,8 +204,8 @@ def _fill_banded_jit(params, ref_tokens, qry_tokens, ref_len, qry_len,
                      with_traceback=True, interpret=False):
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
-    assert m % ROWS_PER_STEP == 0, (b, m, n)
-    bp = _pad_batch(b)
+    assert m % 8 == 0, (b, m, n)  # bucketing granularity; padded to 16 below
+    bp = b if interpret else _pad_batch(b)
     if bp != b:
         ref_tokens = jnp.pad(ref_tokens, ((0, bp - b), (0, 0)))
         qry_tokens = jnp.pad(qry_tokens, ((0, bp - b), (0, 0)),
@@ -201,7 +213,12 @@ def _fill_banded_jit(params, ref_tokens, qry_tokens, ref_len, qry_len,
         ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
         qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
         b = bp
-    tile_p = TILE_P
+    if m % ROWS_PER_STEP:  # pad query rows to whole direction words
+        pad_m = ROWS_PER_STEP - m % ROWS_PER_STEP
+        qry_tokens = jnp.pad(qry_tokens, ((0, 0), (0, pad_m)),
+                             constant_values=1)
+        m = m + pad_m
+    tile_p = TILE_P if not interpret else (TILE_P if b % TILE_P == 0 else b)
     k8 = frame_width(params.band)
     mw = m // ROWS_PER_STEP
     grid = (b // tile_p, mw)
@@ -216,7 +233,8 @@ def _fill_banded_jit(params, ref_tokens, qry_tokens, ref_len, qry_len,
     qry_t = qry_tokens.astype(jnp.int32).T
     rlen_t = ref_len.reshape(1, b).astype(jnp.int32)
     qlen_t = qry_len.reshape(1, b).astype(jnp.int32)
-    kernel = _make_banded_kernel(params, k8, tile_p, with_traceback)
+    kernel = _make_banded_kernel(params, k8, tile_p, with_traceback,
+                                 unroll=4 if interpret else None)
     out_shape = [jax.ShapeDtypeStruct((8, b), jnp.int32)]
     out_specs = [
         pl.BlockSpec((8, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM)

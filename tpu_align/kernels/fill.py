@@ -53,8 +53,22 @@ from tpu_align.core import directions as D
 from tpu_align.core.params import Algorithm, AlignmentParams
 
 TILE_P = 128  # pairs per grid step (the VPU lane width)
-ROWS_PER_STEP = 8  # query rows per grid step = cells per packed dir word
+ROWS_PER_STEP = 8  # base query-row granularity (bucketing pads M to this)
 NEG = -(2**30)  # -inf for int32 scores (python int; immune to overflow on add)
+
+
+def bits_per_cell(algo: Algorithm) -> int:
+    """Direction bits per DP cell: the affine aligner needs 2 main bits +
+    E/F extend bits; the linear aligners need only the 2 main bits -- the
+    local stop test is recovered by backward re-scoring in the walker
+    (remaining score hits 0 exactly at the path start), so no stop flag is
+    stored.  2-bit packing puts 16 query rows in each int32 word, halving
+    traceback HBM traffic versus 4-bit."""
+    return 4 if algo.is_affine else 2
+
+
+def rows_per_word(algo: Algorithm) -> int:
+    return 32 // bits_per_cell(algo)
 NEG16 = -(2**14)  # -inf for int16 scores; |score| bound must stay < 2**13
 
 
@@ -142,8 +156,8 @@ def _linear_row_update(algo, p, sdt, neg, ref, qi, prev, border_prev,
     d = jnp.where(ins >= best, D.MAIN_QUERY_INSERTION, d)
     best = jnp.maximum(best, ins)
     d = jnp.where(dele >= best, D.MAIN_QUERY_DELETION, d)
-    best = jnp.maximum(best, dele)
-    d = jnp.where(neg_jg >= best, d | D.BIT_LOCAL_STOP, d)  # clamped: stop
+    # no stored stop flag: a clamped-to-zero cell is detected by the walker
+    # when its backward re-score reaches 0
     return row, d
 
 
@@ -196,12 +210,15 @@ def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
 
 
 def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
-                 with_traceback: bool, score_dtype=jnp.int32):
+                 with_traceback: bool, score_dtype=jnp.int32, unroll=None):
     is_local = algo.is_local
     is_affine = algo.is_affine
     band = p.band
     sdt = score_dtype
     neg = _neg_for(score_dtype)
+    bits = bits_per_cell(algo)
+    rps = rows_per_word(algo)  # rows per grid step = cells per dir word
+    unroll = unroll or rps
 
     def kernel(ref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
         if with_traceback:
@@ -259,9 +276,14 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             g = jnp.int32(p.gap)
             return ((i - 1) * g).astype(sdt), (i * g).astype(sdt)
 
-        for r in range(ROWS_PER_STEP):
-            i = mw * ROWS_PER_STEP + r + 1  # 1-based DP row (traced scalar)
-            qi = qry_ref[r : r + 1, :].astype(jnp.int32)  # (1, P), static index
+        def row_step(r, carry):
+            if is_affine:
+                prev, f_prev, final_row, best, brow, bcol, acc = carry
+            else:
+                prev, final_row, best, brow, bcol, acc = carry
+                f_prev = None
+            i = mw * rps + r + 1  # 1-based DP row (traced scalar)
+            qi = qry_ref[pl.ds(r, 1), :].astype(jnp.int32)  # (1, P)
             b_prev, b_cur = borders(i)
             if is_affine:
                 row, f_prev, d4 = _affine_row_update(
@@ -278,8 +300,8 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
                 jj = jj0 + 1
                 in_band = jnp.logical_and(jj >= i - band + 1, jj <= i + band - 1)
                 row = jnp.where(in_band, row, neg_jg)  # H = 0 in G-space
-                if with_traceback:
-                    d4 = jnp.where(in_band, d4, D.BIT_LOCAL_STOP)
+                # out-of-band cells need no marker: the walker's band
+                # bounds-check and re-score stop cover them
             row_valid = i <= qlen  # (1, P): row within true query length
 
             if is_local:
@@ -303,8 +325,30 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
                 final_row = jnp.where(row_valid, row, final_row)
 
             if with_traceback:
-                acc = acc | (d4 << (4 * r))
-            prev = row
+                acc = acc | (d4 << (bits * r))
+            if is_affine:
+                return row, f_prev, final_row, best, brow, bcol, acc
+            return row, final_row, best, brow, bcol, acc
+
+        def block_step(q, carry):
+            # unrolled row block inside a fori_loop: full unroll on the
+            # compiled path lets Mosaic software-pipeline across rows
+            # (a 1-row loop costs ~30% runtime, 4-row ~16%); interpret mode
+            # uses small blocks because trace time scales with body size
+            for sub in range(unroll):
+                carry = row_step(q * unroll + sub, carry)
+            return carry
+
+        if is_affine:
+            carry = (prev, f_prev, final_row, best, brow, bcol, acc)
+        else:
+            carry = (prev, final_row, best, brow, bcol, acc)
+        assert rps % unroll == 0, (rps, unroll)
+        carry = jax.lax.fori_loop(0, rps // unroll, block_step, carry)
+        if is_affine:
+            prev, f_prev, final_row, best, brow, bcol, acc = carry
+        else:
+            prev, final_row, best, brow, bcol, acc = carry
 
         if with_traceback:
             # transpose in VMEM so each pair's word-row is contiguous in HBM
@@ -398,7 +442,9 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     assert n % 128 == 0 and m % ROWS_PER_STEP == 0, (b, m, n)
-    bp = _pad_batch(b)
+    # interpreter mode executes on real arrays, so lane padding would only
+    # multiply work; Mosaic needs full 128-lane tiles (VMEM layout)
+    bp = b if interpret else _pad_batch(b)
     if bp != b:
         ref_tokens = jnp.pad(ref_tokens, ((0, bp - b), (0, 0)))
         qry_tokens = jnp.pad(qry_tokens, ((0, bp - b), (0, 0)),
@@ -406,12 +452,18 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
         qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
         b = bp
-    tile_p = TILE_P
-    mw = m // ROWS_PER_STEP
+    tile_p = TILE_P if not interpret else (TILE_P if b % TILE_P == 0 else b)
+    rps = rows_per_word(algorithm)
+    if m % rps:  # pad query rows to a whole number of direction words
+        pad_m = rps - m % rps
+        qry_tokens = jnp.pad(qry_tokens, ((0, 0), (0, pad_m)),
+                             constant_values=1)
+        m = m + pad_m
+    mw = m // rps
     grid = (b // tile_p, mw)
     sdt = _score_dtype(params, m, n)
     kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback,
-                          score_dtype=sdt)
+                          score_dtype=sdt, unroll=4 if interpret else None)
     # device layout: pairs on lanes -> transpose host-major (B, *) arrays
     ref_t = ref_tokens.astype(jnp.int32).T  # (N, B)
     qry_t = qry_tokens.astype(jnp.int32).T  # (M, B)
@@ -429,7 +481,7 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         )
     in_specs = [
         pl.BlockSpec((n, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((ROWS_PER_STEP, tile_p), lambda i, j: (j, i),
+        pl.BlockSpec((rps, tile_p), lambda i, j: (j, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),

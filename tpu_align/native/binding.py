@@ -71,7 +71,8 @@ def _configure(lib) -> None:
     i64 = ctypes.c_int64
     lib.ta_traceback_bucket.restype = ctypes.c_int
     lib.ta_traceback_bucket.argtypes = [
-        ctypes.c_int, i64, i64, i64, i64, i64, i64, i64,
+        ctypes.c_int, i64, i64, i64, i64, i64, i64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i64,
         ctypes.POINTER(ctypes.c_int32),  # dirs
         ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
         ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
@@ -116,6 +117,10 @@ def native_traceback_bucket(
     scores: np.ndarray,
     num_threads: int = 0,
     skew_band: int = 0,
+    bits: int = 4,
+    match: int = 3,
+    mismatch: int = -1,
+    gap: int = -2,
 ):
     """Walk a whole bucket natively.  Returns (out_buf, out_lens) where
     out_buf is (B, 3, stride) uint8 with left-aligned ref/rel/qry strings of
@@ -139,7 +144,7 @@ def native_traceback_bucket(
     out_lens = np.zeros(b, np.int32)
     rc = lib.ta_traceback_bucket(
         _ALGO_CODE[algorithm_value], b, b_total, mw, n, dirs_cols,
-        skew_band, m,
+        skew_band, bits, match, mismatch, gap, m,
         _ptr(dirs, ctypes.c_int32),
         _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
         _ptr(ref_len, ctypes.c_int32), _ptr(qry_len, ctypes.c_int32),

@@ -195,7 +195,9 @@ class AlignmentEngine:
                 )
             with timer.phase("backtrack"):
                 if self.with_traceback:
-                    bucket_results = traceback_bucket(self.algorithm, b, fill)
+                    bucket_results = traceback_bucket(
+                        self.algorithm, b, fill, self.params
+                    )
                 else:
                     bucket_results = [
                         AlignmentResult(

@@ -13,20 +13,29 @@ from __future__ import annotations
 import numpy as np
 
 from tpu_align.core import directions as D
-from tpu_align.core.params import Algorithm
+from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.core.result import AlignmentResult
 from tpu_align.io.bucketing import Bucket
-from tpu_align.kernels.fill import BucketFill
+from tpu_align.kernels.fill import BucketFill, bits_per_cell
 from tpu_align.oracle.traceback import _walk_anw, _walk_nw
 
-# 4-bit code (bits[1:0]) -> oracle direction enum
+# packed code (bits[1:0]) -> oracle direction enum
 _MAIN_LUT = np.zeros(4, np.uint8)
 _MAIN_LUT[D.MAIN_DIAG_MATCH] = D.MATCH
 _MAIN_LUT[D.MAIN_DIAG_MISMATCH] = D.MISMATCH
 _MAIN_LUT[D.MAIN_QUERY_DELETION] = D.QUERY_DELETION
 _MAIN_LUT[D.MAIN_QUERY_INSERTION] = D.QUERY_INSERTION
 
-_SHIFTS = (4 * np.arange(8, dtype=np.uint32))[None, :, None]  # (1, 8, 1)
+
+def _decode_words(words: np.ndarray, bits: int) -> np.ndarray:
+    """(MW, N) packed words -> (MW * 32//bits, N) per-cell codes."""
+    per = 32 // bits
+    shifts = (bits * np.arange(per, dtype=np.uint32))[None, :, None]
+    mask = np.uint32((1 << bits) - 1)
+    mw, n = words.shape
+    return (
+        (words.astype(np.uint32)[:, None, :] >> shifts) & mask
+    ).reshape(mw * per, n)
 
 
 def unpack_pair_dirs(
@@ -41,10 +50,9 @@ def unpack_pair_dirs(
     the oracle's border conventions (row/col 0 forced INSERTION/DELETION for
     global aligners, c++/LinearNeedlemanWunsch.cpp:31-41; NONE for local).
     """
-    mw, n = words.shape
-    codes = (
-        (words.astype(np.uint32)[:, None, :] >> _SHIFTS) & np.uint32(0xF)
-    ).reshape(mw * 8, n)[:qlen, :rlen]
+    codes = _decode_words(
+        words, bits_per_cell(algorithm)
+    )[:qlen, :rlen]
     main = _MAIN_LUT[codes & 3]
     e_dirs = f_dirs = None
     if algorithm.is_affine:
@@ -52,8 +60,6 @@ def unpack_pair_dirs(
         f_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
         e_dirs[1:, 1:] = np.where(codes & D.BIT_E_EXTEND, D.GAP_EXTEND, D.GAP_OPEN)
         f_dirs[1:, 1:] = np.where(codes & D.BIT_F_EXTEND, D.GAP_EXTEND, D.GAP_OPEN)
-    elif algorithm.is_local:
-        main = np.where(codes & D.BIT_LOCAL_STOP, np.uint8(D.NONE), main)
     main_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
     main_dirs[1:, 1:] = main
     if not algorithm.is_local:
@@ -69,12 +75,9 @@ def unpack_banded_pair_dirs(
     (qlen+1, rlen+1) main-direction matrix (NONE outside the band).
     Slot k of DP row i is column j = i - band + k
     (tpu_align/kernels/banded.py layout)."""
-    mw, k8 = words.shape
-    codes = (
-        (words.astype(np.uint32)[:, None, :] >> _SHIFTS) & np.uint32(0xF)
-    ).reshape(mw * 8, k8)[:qlen]
+    k8 = words.shape[1]
+    codes = _decode_words(words, 2)[:qlen]
     main = _MAIN_LUT[codes & 3]
-    main = np.where(codes & D.BIT_LOCAL_STOP, np.uint8(D.NONE), main)
     main_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
     i_idx = np.arange(1, qlen + 1)[:, None]
     k_idx = np.arange(k8)[None, :]
@@ -88,10 +91,46 @@ def unpack_banded_pair_dirs(
     return main_dirs, None, None
 
 
+def _walk_local_rescore(main_dirs, ref: str, qry: str, r: int, c: int,
+                        score: int, params: AlignmentParams):
+    """Local walk with the backward re-scoring stop: along the optimal
+    path H[pred] = H[cell] - move cost, so the remaining score reaches 0
+    exactly at the clamped-to-zero path start (no stored stop flag)."""
+    out_r, out_m, out_q = [], [], []
+    remaining = score
+    while remaining > 0 and r > 0 and c > 0:
+        d = main_dirs[r, c]
+        if d == D.MATCH or d == D.MISMATCH:
+            out_r.append(ref[c - 1])
+            out_m.append(D.REL_MATCH if d == D.MATCH else D.REL_MISMATCH)
+            out_q.append(qry[r - 1])
+            remaining -= params.match if d == D.MATCH else params.mismatch
+            r -= 1
+            c -= 1
+        elif d == D.QUERY_DELETION:
+            out_r.append(D.GAP_CHAR)
+            out_m.append(D.REL_GAP)
+            out_q.append(qry[r - 1])
+            remaining -= params.gap
+            r -= 1
+        else:  # QUERY_INSERTION
+            out_r.append(ref[c - 1])
+            out_m.append(D.REL_GAP)
+            out_q.append(D.GAP_CHAR)
+            remaining -= params.gap
+            c -= 1
+    return (
+        "".join(reversed(out_r)),
+        "".join(reversed(out_m)),
+        "".join(reversed(out_q)),
+    )
+
+
 def traceback_bucket(
     algorithm: Algorithm,
     bucket: Bucket,
     fill: BucketFill,
+    params: AlignmentParams | None = None,
     use_native: bool = True,
 ) -> list[AlignmentResult]:
     """Walk every real pair of a filled bucket into an AlignmentResult
@@ -103,8 +142,9 @@ def traceback_bucket(
     byte-identical (tests/test_native.py)."""
     if fill.dirs is None:
         raise ValueError("bucket was filled with with_traceback=False")
+    params = params or AlignmentParams()
     if use_native:
-        native = _native_traceback(algorithm, bucket, fill)
+        native = _native_traceback(algorithm, bucket, fill, params)
         if native is not None:
             return native
     results = []
@@ -131,7 +171,8 @@ def traceback_bucket(
             if score <= 0:
                 r = m = q = ""  # empty block, cuda/LinearSmithWaterman.cu host
             else:
-                r, m, q = _walk_nw(main, ref, qry, srow, scol, stop_local=True)
+                r, m, q = _walk_local_rescore(main, ref, qry, srow, scol,
+                                              score, params)
         else:
             r, m, q = _walk_nw(main, ref, qry, qlen, rlen, stop_local=False)
         results.append(AlignmentResult(pair_num, score, r, m, q))
@@ -139,7 +180,8 @@ def traceback_bucket(
 
 
 def _native_traceback(
-    algorithm: Algorithm, bucket: Bucket, fill: BucketFill
+    algorithm: Algorithm, bucket: Bucket, fill: BucketFill,
+    params: AlignmentParams,
 ) -> list[AlignmentResult] | None:
     """Bucket walk via native/libtpualign.so; None if unavailable."""
     from tpu_align.native import native_traceback_bucket
@@ -151,6 +193,8 @@ def _native_traceback(
         bucket.ref_len[:nb], bucket.qry_len[:nb],
         fill.start_row[:nb], fill.start_col[:nb], fill.scores[:nb],
         skew_band=fill.band or 0,
+        bits=bits_per_cell(algorithm),
+        match=params.match, mismatch=params.mismatch, gap=params.gap,
     )
     if out is None:
         return None
