@@ -39,7 +39,8 @@ class BucketSpec:
     pair_multiple:  batch row padding granularity (sublane axis).
     """
 
-    query_multiple: int = 8
+    query_multiple: int = 32  # coarse default: every distinct kernel shape
+    #                           costs a compile (minutes on remote backends)
     ref_multiple: int = 128
     batch_pairs: int = 2048
     pair_multiple: int = 8
