@@ -30,6 +30,16 @@ def main() -> None:
                             local_mode="all" if algo.is_local else "single")
         print(result.block())
 
+    print("\n==== LNW all co-optimal paths (ABxxxCDE vs ABCDE) ====")
+    from tpu_align.oracle import lnw_all_paths
+
+    p2 = AlignmentParams(match=5, mismatch=-2, gap=-3)
+    fill = fill_scalar(Algorithm.LNW, p2, "ABxxxCDE", "ABCDE")
+    score, paths = lnw_all_paths(fill, p2, "ABxxxCDE", "ABCDE")
+    print(f"score {score}; {len(paths)} co-optimal path(s):")
+    for (r, m, q) in paths:
+        print(f"  {r}\n  {m}\n  {q}\n")
+
     print("\n==== LCS (no-penalty special case) ====")
     length, paths = lcs(reference, query, dedup=True)
     print(f"length {length}; all co-optimal subsequences:")

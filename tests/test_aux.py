@@ -67,3 +67,32 @@ def test_rescore_affine_gap_runs():
     # and a run of two ref-gaps likewise
     block = OutputBlock(0, score, "A__A", "*  *", "AGGA")
     assert rescore_alignment(Algorithm.ANW, p, "AA", "AGGA", block) == []
+
+
+def test_lnw_all_paths():
+    """All-paths global enumeration (python/LinearNeedlemanWunsch.py BFS):
+    every emitted path must be legal and re-score to the optimum."""
+    from tpu_align.oracle import lnw_all_paths
+    from tpu_align.oracle.scalar import fill_scalar
+    from tpu_align.verify.golden import OutputBlock
+
+    p = AlignmentParams(match=5, mismatch=-2, gap=-3)
+    ref, qry = "ABxxxCDE", "ABCDE"  # the reference's testing.py example
+    fill = fill_scalar(Algorithm.LNW, p, ref, qry)
+    score, paths = lnw_all_paths(fill, p, ref, qry)
+    assert score == fill.global_score
+    assert paths
+    for (r, m, q) in paths:
+        block = OutputBlock(0, score, r, m, q)
+        assert rescore_alignment(Algorithm.LNW, p, ref, qry, block) == []
+    # a tie-rich pair must yield multiple distinct co-optimal paths
+    p2 = AlignmentParams(match=1, mismatch=-1, gap=-1)
+    fill2 = fill_scalar(Algorithm.LNW, p2, "AB", "BA")
+    s2, paths2 = lnw_all_paths(fill2, p2, "AB", "BA")
+    assert len(set(paths2)) > 1
+    for (r, m, q) in paths2:
+        block = OutputBlock(0, s2, r, m, q)
+        assert rescore_alignment(Algorithm.LNW, p2, "AB", "BA", block) == []
+    # max_paths truncation
+    _, few = lnw_all_paths(fill2, p2, "AB", "BA", max_paths=1)
+    assert len(few) == 1

@@ -20,13 +20,17 @@ alignment strings exactly like c++/backtrack.cpp.
 
 from tpu_align.oracle.scalar import fill_scalar
 from tpu_align.oracle.vectorized import fill_vectorized
-from tpu_align.oracle.traceback import traceback_pair
+from tpu_align.oracle.traceback import lnw_all_paths, traceback_pair
 from tpu_align.oracle.api import align_pair, align_batch
+from tpu_align.oracle.lcs import lcs, lcs_matrix
 
 __all__ = [
     "fill_scalar",
     "fill_vectorized",
     "traceback_pair",
+    "lnw_all_paths",
     "align_pair",
     "align_batch",
+    "lcs",
+    "lcs_matrix",
 ]

@@ -200,3 +200,62 @@ def traceback_pair(
     score, sr, sc = fill.local_max()
     r, m, q = _walk_nw(fill.main_dirs, reference, query, sr, sc, stop_local=True)
     return AlignmentResult(pair_num, score, r, m, q)
+
+
+def lnw_all_paths(
+    fill: FillResult,
+    params,
+    reference: str,
+    query: str,
+    max_paths: int | None = None,
+):
+    """Enumerate every co-optimal global alignment, breadth-first.
+
+    Behavioral spec: python/LinearNeedlemanWunsch.py:68-191 -- a boolean
+    3-plane predecessor matrix keeps ALL co-optimal predecessors (corner /
+    left / up, recorded by score equality) and a BFS queue replays every
+    branch, emitting completed paths in queue order (corner first, then
+    reference-consuming gap, then query-consuming gap).  The reference's
+    enumeration indexes the predecessor planes with -1 at the borders (a
+    latent wrap-around); here border cells take their only legal move.
+
+    Returns (score, [(ref_line, rel_line, qry_line), ...]).  Path counts
+    are exponential in the worst case; max_paths truncates enumeration.
+    """
+    from collections import deque
+
+    h = fill.h
+    m, n = h.shape[0] - 1, h.shape[1] - 1
+    out = []
+    queue = deque([(n, m, "", "", "")])
+    while queue:
+        c, r, sr, sm, sq = queue.popleft()
+        if r == 0 and c == 0:
+            out.append((sr, sm, sq))
+            if max_paths is not None and len(out) >= max_paths:
+                break
+            continue
+        if r > 0 and c > 0:
+            # co-optimal predecessors by score identity (reference :86-90)
+            w = (params.match if reference[c - 1] == query[r - 1]
+                 else params.mismatch)
+            corner = h[r, c] == h[r - 1, c - 1] + w
+            left = h[r, c] == h[r, c - 1] + params.gap
+            up = h[r, c] == h[r - 1, c] + params.gap
+            if corner:
+                rel = D.REL_MATCH if reference[c - 1] == query[r - 1] else D.REL_MISMATCH
+                queue.append((c - 1, r - 1, reference[c - 1] + sr, rel + sm,
+                              query[r - 1] + sq))
+            if left:
+                queue.append((c - 1, r, reference[c - 1] + sr, D.REL_GAP + sm,
+                              D.GAP_CHAR + sq))
+            if up:
+                queue.append((c, r - 1, D.GAP_CHAR + sr, D.REL_GAP + sm,
+                              query[r - 1] + sq))
+        elif c > 0:  # top border: only reference-consuming moves remain
+            queue.append((c - 1, r, reference[c - 1] + sr, D.REL_GAP + sm,
+                          D.GAP_CHAR + sq))
+        else:  # left border: only query-consuming moves remain
+            queue.append((c, r - 1, D.GAP_CHAR + sr, D.REL_GAP + sm,
+                          query[r - 1] + sq))
+    return int(h[m, n]), out
