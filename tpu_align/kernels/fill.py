@@ -8,26 +8,31 @@ cuda/LNW/LinearNeedlemanWunschV19.cu:178-314):
   the reference sequence occupies the sublane axis -- in-register arrays are
   (N, P).  One vector op therefore advances one DP row of 128 pairs at
   once, the dense-batch analogue of "one warp per pair".
-* The grid is (batch_tiles, query_row_blocks): each grid step consumes an
-  8-row query block (static in-block indexing -- Mosaic forbids dynamic
-  lane slicing) and carries the DP row state across steps in VMEM scratch,
-  the TPU analogue of the reference's 32-row stripe pipelining with
-  cross-stripe shared-memory hand-off (V19.cu:210-212,290-292).  Pallas
-  double-buffers the HBM block transfers automatically.
+* The grid is (batch_tiles, query_row_blocks): each grid step consumes one
+  direction word's worth of query rows (16 for the 2-bit linear aligners,
+  8 for 4-bit affine) and carries the DP row state across steps in VMEM
+  scratch, the TPU analogue of the reference's 32-row stripe pipelining
+  with cross-stripe shared-memory hand-off (V19.cu:210-212,290-292).
+  Pallas double-buffers the HBM block transfers automatically.
 * The within-row dependency H[i][j] = max(t[j], H[i][j-1] + gap) is removed
-  with the prefix-scan identity V[j] = H[j] - j*gap = max(t[j]-j*gap,
-  V[j-1]) -- a running maximum over the reference (sublane) axis computed
+  with the prefix-scan identity G[j] = H[j] - j*gap = max(t[j]-j*gap,
+  G[j-1]) -- a running maximum over the reference (sublane) axis computed
   in log2(N) Hillis-Steele steps of `pltpu.roll` + `jnp.maximum`.  This
   replaces the CUDA warp-shuffle chain (V19.cu:300) and is the vector form
-  of the SIMD "striped/lazy-F" idiom (PAPERS.md).  The affine E matrix
-  admits the same scan because re-opening a gap out of an insertion state
-  is dominated by extending it when gap_open <= 0 (proof:
-  tpu_align/oracle/vectorized.py docstring).
-* Direction codes (4 bits per cell, tpu_align/core/directions.py) are
-  packed 8 query rows per int32 word -- one (N, P) word-plane written per
-  grid step with static shifts -- shrinking traceback HBM traffic 8x versus
-  the reference's byte-per-cell matrices (the V17 coalesced layout's goal,
-  V17.cu:107-118, achieved by construction).
+  of the SIMD "striped/lazy-F" idiom (PAPERS.md).  ALL row state stays in
+  G-space, so the +-j*gap adjustments vanish from the inner loop (the tie
+  chains are shift-invariant); absolute scores are reconstructed only at
+  local-max tracking and final extraction.  The affine E matrix admits the
+  same scan because re-opening a gap out of an insertion state is dominated
+  by extending it when gap_open <= 0 (proof: tpu_align/oracle/vectorized.py
+  docstring).
+* Direction codes (2 bits/cell linear, 4 bits affine --
+  tpu_align/core/directions.py) are packed 16 (resp. 8) query rows per
+  int32 word -- one (N, P) word-plane written per grid step -- shrinking
+  traceback HBM traffic 16x versus the reference's byte-per-cell matrices
+  (the V17 coalesced layout's goal, V17.cu:107-118, achieved by
+  construction).  Linear aligners store no local stop flag: the walker
+  re-scores backward and stops when the remaining score reaches 0.
 * Scores-only mode omits the direction output entirely, like the V6 kernel
   that eliminated the scoring matrix (V6.cu:28-35).
 * Tie-break semantics are exactly the reference's `__vibmax` `>=` chains
