@@ -79,3 +79,60 @@ def test_engine_checkpoint_resume(tmp_path, monkeypatch):
     os.remove(os.path.join(ckpt, files[0]))
     third = engine.run(ds, checkpoint_dir=ckpt)
     assert third.output_text() == first.output_text()
+
+
+def test_engine_local_mode_all_routes_to_oracle():
+    """local_mode='all' must actually deliver BACKTRACK_ALL semantics end
+    to end: every co-optimal path from every max cell, matching the oracle
+    (c++/LinearSmithWaterman.h:9)."""
+    import random
+
+    from tpu_align.io import PairDataset
+    from tests.conftest import random_dna
+
+    r = random.Random(11)
+    ds = PairDataset.from_pairs(
+        [(random_dna(r, 3, 20, alphabet="AC"),
+          random_dna(r, 3, 20, alphabet="AC")) for _ in range(12)]
+    )
+    out = AlignmentEngine(
+        Algorithm.LSW, bucket_spec=_SPEC, local_mode="all"
+    ).run(ds)
+    want = align_batch(Algorithm.LSW, AlignmentParams(), list(ds.pairs()),
+                       engine="scalar", local_mode="all")
+    assert out.output_text() == "".join(r.block() for r in want)
+    # the mode must produce extra paths somewhere on a workload this size
+    assert any(r.extra_paths for r in out.results)
+
+
+def test_engine_local_mode_all_rejects_global():
+    with pytest.raises(ValueError):
+        AlignmentEngine(Algorithm.LNW, local_mode="all")
+
+
+def test_engine_max_inflight_window():
+    """Bounded dispatch (V13 STREAM_BATCH_SIZE analogue) must not change
+    results, for any window size."""
+    ds = synthetic_dataset(30, min_len=5, max_len=100, seed=12)
+    spec = BucketSpec(batch_pairs=8, query_multiple=64)
+    texts = []
+    for win in (1, 2, 0):  # 0 = unbounded
+        out = AlignmentEngine(
+            Algorithm.LNW, bucket_spec=spec, max_inflight=win
+        ).run(ds)
+        texts.append(out.output_text())
+    assert texts[0] == texts[1] == texts[2]
+
+
+def test_engine_checkpoint_preserves_extra_paths(tmp_path):
+    from tpu_align.core.result import AlignmentResult
+
+    recs = [
+        AlignmentResult(0, 5, "AC", "**", "AC",
+                        extra_paths=[("A_C", "* *", "ATC")]),
+        AlignmentResult(1, 2, "G", "*", "G"),
+    ]
+    path = str(tmp_path / "ckpt.json")
+    AlignmentEngine._save_checkpoint(path, recs)
+    back = AlignmentEngine._load_checkpoint(path)
+    assert [r.block() for r in back] == [r.block() for r in recs]

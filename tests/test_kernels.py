@@ -118,3 +118,28 @@ def test_small_batch_padding(rng):
     pairs = [(random_dna(rng, 4, 30), random_dna(rng, 4, 30))
              for _ in range(3)]
     _run_and_compare(Algorithm.ANW, PARAMS, pairs)
+
+
+def test_dense_bsw_band_mask_before_scan():
+    """Regression: the dense BSW path must mask out-of-band candidates
+    BEFORE the insertion prefix-max scan -- phantom values computed from a
+    masked-to-zero previous row at out-of-band columns must not leak into
+    in-band cells (band spec: out-of-band cells are never computed,
+    python/LinearBandedSmithWaterman.py:71)."""
+    params = AlignmentParams(band=2)
+    # The original failing case: fill_bucket(BSW, band=2) returned 1 vs
+    # oracle 0 on this pair.
+    pairs = [("CTCCCC", "AAATAA")]
+    _run_and_compare(Algorithm.BSW, params, pairs)
+
+
+def test_dense_bsw_sparse_alphabet_fuzz(rng):
+    """Banded fuzz over the dense fill_bucket path with a 2-letter alphabet
+    (tie- and phantom-rich) and a narrow band."""
+    params = AlignmentParams(band=3)
+    pairs = [
+        (random_dna(rng, 3, 40, alphabet="AC"),
+         random_dna(rng, 3, 40, alphabet="AC"))
+        for _ in range(12)
+    ]
+    _run_and_compare(Algorithm.BSW, params, pairs)

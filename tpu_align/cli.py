@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pairs per kernel batch (V19 BATCH_SIZE analogue)")
     p.add_argument("-scores-only", action="store_true",
                    help="skip traceback (V6-style fast path)")
+    p.add_argument("-all-paths", action="store_true",
+                   help="local aligners: emit every co-optimal path from "
+                        "every max cell (the CPU BACKTRACK_ALL switch, "
+                        "c++/LinearSmithWaterman.h:9; oracle path, no "
+                        "kernels)")
+    p.add_argument("-max-inflight", type=int, default=4,
+                   help="bucket kernels outstanding at once (V13 "
+                        "STREAM_BATCH_SIZE analogue; 0 = unbounded)")
     p.add_argument("-no-output", action="store_true",
                    help="suppress per-pair blocks; print stats only")
     p.add_argument("-out", default=None, help="write output blocks to file")
@@ -62,10 +70,16 @@ def main(argv=None) -> int:
     ds = parse_pair_file(args.pairs)
     parse_s = time.perf_counter() - t0
     st = ds.stats()
+    if args.all_paths and not algorithm.is_local:
+        print("-all-paths requires a local algorithm (lsw/bsw)",
+              file=sys.stderr)
+        return 2
     engine = AlignmentEngine(
         algorithm, params,
         bucket_spec=BucketSpec(batch_pairs=args.batch_pairs),
         with_traceback=not args.scores_only,
+        local_mode="all" if args.all_paths else "single",
+        max_inflight=args.max_inflight,
     )
     out = engine.run(ds, checkpoint_dir=args.checkpoint_dir)
     if not args.no_output:

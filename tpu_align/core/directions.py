@@ -25,24 +25,23 @@ NONE_INDEL = 0
 GAP_OPEN = 1
 GAP_EXTEND = 2
 
-# --- 4-bit packed-cell encoding used by kernels and traceback -----------------
-# All four algorithms share one packed direction word layout: each DP cell
-# occupies 4 bits of an int32 word, 8 cells per word, packed along the
-# column (reference) axis.  This is the TPU counterpart of the reference's
-# byte-per-cell directionMain matrices (which V17 re-laid-out for coalescing,
-# cuda/LNW/LinearNeedlemanWunschV17.cu:107-118) -- we keep lanes coalesced by
-# construction and shrink HBM traffic 8x instead.
+# --- packed-cell encoding used by kernels and traceback -----------------------
+# Kernels pack direction codes along the QUERY-ROW axis into int32 words:
+# 2 bits/cell (16 rows per word) for the linear aligners, 4 bits/cell
+# (8 rows per word) for affine -- see kernels/fill.py bits_per_cell.  This
+# is the TPU counterpart of the reference's byte-per-cell directionMain
+# matrices (which V17 re-laid-out for coalescing,
+# cuda/LNW/LinearNeedlemanWunschV17.cu:107-118) -- we keep lanes coalesced
+# by construction and shrink HBM traffic 16x (8x affine) instead.
 #
 # bits [1:0]: main direction, encoded as MAIN_* below
 # bit  [2]:   affine E (query-insertion matrix) came-from: 0=GAP_OPEN, 1=GAP_EXTEND
 # bit  [3]:   affine F (query-deletion matrix) came-from: 0=GAP_OPEN, 1=GAP_EXTEND
 #
-# For local aligners the NONE/stop state is encoded as MAIN_STOP in bits[1:0]
-# of... no: local aligners need 5 main states.  We instead fold NONE into the
-# main code by reserving code 0 cells: local cells whose clamped score is 0
-# store MAIN code of the *losing* direction irrelevantly; the traceback stop
-# test for local alignment uses bit[2] (reused as a "zero cell" flag, since
-# E/F bits are unused by linear aligners).
+# Local aligners store NO stop/NONE state: a clamped-to-zero cell is
+# detected by the walker's backward re-scoring (the remaining score reaches
+# 0 exactly at the path start -- tpu_align/traceback/host.py
+# _walk_local_rescore), so the 2 main bits suffice for the linear aligners.
 MAIN_DIAG_MATCH = 0
 MAIN_DIAG_MISMATCH = 1
 MAIN_QUERY_DELETION = 2
@@ -50,11 +49,6 @@ MAIN_QUERY_INSERTION = 3
 
 BIT_E_EXTEND = 4  # bit 2 set -> E came from GAP_EXTEND (affine)
 BIT_F_EXTEND = 8  # bit 3 set -> F came from GAP_EXTEND (affine)
-BIT_LOCAL_STOP = 4  # bit 2 set -> local-alignment cell clamped to 0 (stop)
-
-CELL_BITS = 4
-CELLS_PER_WORD = 32 // CELL_BITS  # 8 packed cells per int32
-CELL_MASK = (1 << CELL_BITS) - 1
 
 MAIN_TO_DIRECTION = {
     MAIN_DIAG_MATCH: MATCH,

@@ -11,8 +11,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 
-import numpy as np
-
 
 class Algorithm(enum.Enum):
     """The four DP aligners of the reference (SURVEY.md section 2).
@@ -79,15 +77,8 @@ class AlignmentParams:
         return max(hi, lo)
 
 
-def score_dtype_for(params: AlignmentParams, max_query: int, max_ref: int):
-    """Pick the narrowest score dtype that cannot overflow.
-
-    The reference's V18/V19 kernels pack scores as int16 pairs, which bounds
-    practical sequence lengths (cuda/LNW/LinearNeedlemanWunschV19.cu:120);
-    we auto-select int16 when safe and fall back to int32 (SURVEY.md
-    section 7 "hard parts": int16 overflow management).
-    """
-    bound = params.max_abs_score(max_query, max_ref)
-    if bound < 2**15 - 1:
-        return np.int16
-    return np.int32
+# Note: there is deliberately no int16 score-dtype selection here.  The
+# reference's V18/V19 s16x2 packing (cuda/LNW/LinearNeedlemanWunschV18.cu:
+# 17-24) exists to double CUDA register lanes; on TPU a vreg already holds
+# 1024 32-bit SIMD lanes and Mosaic cannot lower sub-32-bit rotates, so the
+# kernels use int32 scores unconditionally (see kernels/fill.py).

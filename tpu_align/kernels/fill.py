@@ -56,6 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_align.core import directions as D
 from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.ops import dpx
 
 TILE_P = 128  # pairs per grid step (the VPU lane width)
 ROWS_PER_STEP = 8  # base query-row granularity (bucketing pads M to this)
@@ -74,11 +75,6 @@ def bits_per_cell(algo: Algorithm) -> int:
 
 def rows_per_word(algo: Algorithm) -> int:
     return 32 // bits_per_cell(algo)
-NEG16 = -(2**14)  # -inf for int16 scores; |score| bound must stay < 2**13
-
-
-def _neg_for(dtype) -> int:
-    return NEG16 if dtype == jnp.int16 else NEG
 
 
 # ---------------------------------------------------------------------------
@@ -125,14 +121,21 @@ def _row_scan(t, head, neg):
 
 
 def _linear_row_update(algo, p, sdt, neg, ref, qi, prev, border_prev,
-                       border_cur, neg_jg, want_dirs=True):
+                       border_cur, neg_jg, want_dirs=True, band_mask=None):
     """One DP row for LNW/LSW/BSW in G-space (G = H - j*gap; `prev` and the
     returned row are G rows; neg_jg is the precomputed -j*gap vector).
-    Returns (row, dir4) with dir4 the packed 4-bit code per cell (band
-    masking applied by the caller for BSW), or dir4=None in the scores-only
-    fast path.  All direction comparisons are shift-invariant, so the
-    `>=` tie chains (c++/LinearNeedlemanWunsch.cpp:122-126,
-    cuda/LinearSmithWaterman.cu:116-137) transfer to G-space verbatim."""
+    Returns (row, dir4) with dir4 the packed 4-bit code per cell, or
+    dir4=None in the scores-only fast path.  For BSW the caller passes
+    `band_mask` (True at in-band columns): out-of-band candidates are
+    forced to H = 0 (neg_jg in G-space) BEFORE the row scan so phantom
+    out-of-band values can never leak into in-band cells through the
+    insertion prefix max (band spec: out-of-band cells are never computed,
+    python/LinearBandedSmithWaterman.py:71).  All direction comparisons are
+    shift-invariant, so the `>=` tie chains
+    (c++/LinearNeedlemanWunsch.cpp:122-126,
+    cuda/LinearSmithWaterman.cu:116-137) transfer to G-space verbatim; the
+    chains are expressed through the DPX layer (tpu_align/ops/dpx.py) so the
+    scoring reads like the reference's `__vibmax` intrinsic idiom."""
     gap = sdt(p.gap)
     is_match = ref == qi
     # w - gap folded into the substitution constants
@@ -140,27 +143,32 @@ def _linear_row_update(algo, p, sdt, neg, ref, qi, prev, border_prev,
     mm = _shift_down(prev, 1, border_prev) + wg  # = (diag + w) - j*gap
     dele = prev + gap                            # = (up + gap) - j*gap
     if algo is Algorithm.LNW:
-        t = jnp.maximum(mm, dele)
+        # __vibmax chain (FakeDPX.cpp:145-153): dele >= mm -> DELETION
+        t, take_del = dpx.vibmax_s32(dele, mm)
         row = _row_scan(t, border_cur, neg)
         if not want_dirs:
             return row, None
         ins = _shift_down(row, 1, border_cur)    # = (left + gap) - j*gap
-        # direction chain: best=mm; dele >= best -> DEL; ins >= best -> INS
+        _, take_ins = dpx.vibmax_s32(ins, t)     # ins >= best -> INSERTION
         d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
-        d = jnp.where(dele >= mm, D.MAIN_QUERY_DELETION, d)
-        d = jnp.where(ins >= t, D.MAIN_QUERY_INSERTION, d)
+        d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
+        d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
         return row, d
     # local: LSW / BSW; the 0-clamp becomes a clamp at -j*gap in G-space
-    t = jnp.maximum(jnp.maximum(mm, dele), neg_jg)
+    t = dpx.vimax3_s32(mm, dele, neg_jg)
+    if band_mask is not None:
+        t = jnp.where(band_mask, t, neg_jg)
     row = _row_scan(t, sdt(0), neg)
     if not want_dirs:
         return row, None
     ins = _shift_down(row, 1, sdt(0))
+    # __vibmax chain (cuda/LinearSmithWaterman.cu:126-137): ins vs diag,
+    # then dele vs winner
     d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
-    best = mm
-    d = jnp.where(ins >= best, D.MAIN_QUERY_INSERTION, d)
-    best = jnp.maximum(best, ins)
-    d = jnp.where(dele >= best, D.MAIN_QUERY_DELETION, d)
+    best, take_ins = dpx.vibmax_s32(ins, mm)
+    d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
+    _, take_del = dpx.vibmax_s32(dele, best)
+    d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
     # no stored stop flag: a clamped-to-zero cell is detected by the walker
     # when its backward re-score reaches 0
     return row, d
@@ -183,9 +191,11 @@ def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
     # F (query deletion): open vs extend; row 1 forces GAP_OPEN
     open_f = h_prev + (go + ge)
     ext_f = f_prev + ge
-    f_row = jnp.where(is_first_row, open_f, jnp.maximum(open_f, ext_f))
+    # __vibmax tie: open >= extend -> GAP_OPEN (AffineNeedlemanWunsch.cpp)
+    f_cand, f_open_wins = dpx.vibmax_s32(open_f, ext_f)
+    f_row = jnp.where(is_first_row, open_f, f_cand)
     f_ext_bit = jnp.where(
-        jnp.logical_or(is_first_row, open_f >= ext_f), 0, D.BIT_F_EXTEND
+        jnp.logical_or(is_first_row, f_open_wins), 0, D.BIT_F_EXTEND
     )
     # E via lazy-F scan over C = max(mm, F):
     #   E_G[j] = max(C_G[j-1] + go, E_G[j-1])
@@ -199,13 +209,16 @@ def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
     open_e = _shift_down(h_row, 1, sdt(0)) + go
     ext_e = _shift_down(e_row, 1, neg)
     col1 = _ref_iota(h_row.shape) == 0
+    _, e_open_wins = dpx.vibmax_s32(open_e, ext_e)
     e_ext_bit = jnp.where(
-        jnp.logical_or(col1, open_e >= ext_e), 0, D.BIT_E_EXTEND
+        jnp.logical_or(col1, e_open_wins), 0, D.BIT_E_EXTEND
     )
-    # H dirs: best=mm; F >= best -> DEL; E >= best -> INS
+    # H dirs: best=mm; F >= best -> DEL; E >= best -> INS (vibmax chain)
     d = jnp.where(is_match, D.MAIN_DIAG_MATCH, D.MAIN_DIAG_MISMATCH)
-    d = jnp.where(f_row >= mm, D.MAIN_QUERY_DELETION, d)
-    d = jnp.where(e_row >= jnp.maximum(f_row, mm), D.MAIN_QUERY_INSERTION, d)
+    best, take_del = dpx.vibmax_s32(f_row, mm)
+    d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
+    _, take_ins = dpx.vibmax_s32(e_row, best)
+    d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
     return h_row, f_row, d | f_ext_bit | e_ext_bit
 
 
@@ -220,7 +233,7 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
     is_affine = algo.is_affine
     band = p.band
     sdt = score_dtype
-    neg = _neg_for(score_dtype)
+    neg = NEG
     bits = bits_per_cell(algo)
     rps = rows_per_word(algo)  # rows per grid step = cells per dir word
     unroll = unroll or rps
@@ -290,6 +303,15 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             i = mw * rps + r + 1  # 1-based DP row (traced scalar)
             qi = qry_ref[pl.ds(r, 1), :].astype(jnp.int32)  # (1, P)
             b_prev, b_cur = borders(i)
+            if algo.is_banded:
+                # python/LinearBandedSmithWaterman.py:71 band clamp; the
+                # mask is applied BEFORE the row scan (inside the update)
+                # so out-of-band phantoms cannot leak through the insertion
+                # prefix max
+                jj = jj0 + 1
+                in_band = jnp.logical_and(jj >= i - band + 1, jj <= i + band - 1)
+            else:
+                in_band = None
             if is_affine:
                 row, f_prev, d4 = _affine_row_update(
                     p, sdt, neg, ref, qi, prev, f_prev, b_prev, b_cur,
@@ -298,12 +320,9 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             else:
                 row, d4 = _linear_row_update(
                     algo, p, sdt, neg, ref, qi, prev, b_prev, b_cur, neg_jg,
-                    want_dirs=with_traceback
+                    want_dirs=with_traceback, band_mask=in_band,
                 )
             if algo.is_banded:
-                # python/LinearBandedSmithWaterman.py:71 band clamp
-                jj = jj0 + 1
-                in_band = jnp.logical_and(jj >= i - band + 1, jj <= i + band - 1)
                 row = jnp.where(in_band, row, neg_jg)  # H = 0 in G-space
                 # out-of-band cells need no marker: the walker's band
                 # bounds-check and re-score stop cover them
@@ -421,16 +440,6 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _score_dtype(params: AlignmentParams, m: int, n: int):
-    """Score dtype selection.  int16 state (the V18/V19 s16x2 trick) is
-    plumbed through the kernel but currently disabled: Mosaic cannot lower
-    sub-32-bit rotates ("Rotate with non-32-bit data"), and the v5e VPU has
-    32-bit lanes, so int16 would not raise throughput anyway.  Revisit on
-    hardware/toolchains with packed 16-bit VPU ops."""
-    del params, m, n
-    return jnp.int32
-
-
 def _pad_batch(b):
     """Round the pair count up to a whole number of 128-lane tiles.
 
@@ -466,7 +475,12 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         m = m + pad_m
     mw = m // rps
     grid = (b // tile_p, mw)
-    sdt = _score_dtype(params, m, n)
+    # Scores are int32 always.  The reference's V18/V19 s16x2 trick
+    # (cuda/LNW/LinearNeedlemanWunschV18.cu:17-24) has no profitable TPU
+    # counterpart: Mosaic cannot lower sub-32-bit rotates ("Rotate with
+    # non-32-bit data") and the v5e VPU has 32-bit lanes, so int16 state
+    # would not raise throughput; a vreg already holds 1024 SIMD lanes.
+    sdt = jnp.int32
     kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback,
                           score_dtype=sdt, unroll=4 if interpret else None)
     # device layout: pairs on lanes -> transpose host-major (B, *) arrays

@@ -66,12 +66,21 @@ class AlignmentEngine:
         with_traceback: bool = True,
         interpret: bool | None = None,
         local_mode: str = "single",
+        max_inflight: int = 4,
     ):
         """local_mode (local aligners only): "single" follows the CUDA host
         semantics (one path from the first row-major max cell); "all"
         enumerates every co-optimal path from every max cell (the CPU
         BACKTRACK_ALL compile switch, c++/LinearSmithWaterman.h:9) -- this
-        mode needs the score matrix and therefore runs on the oracle path."""
+        mode needs the score matrix, so run() routes EVERY pair through the
+        oracle path (no kernels) when it is selected.
+
+        max_inflight bounds the number of bucket kernels dispatched ahead of
+        the consumer (the reference's STREAM_BATCH_SIZE,
+        cuda/LNW/LinearNeedlemanWunschV13.cu:10): device memory holds at
+        most max_inflight buckets' direction tensors at once, so HBM
+        footprint is O(max_inflight * bucket) instead of O(dataset).
+        0 / None = unbounded."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
@@ -79,7 +88,10 @@ class AlignmentEngine:
         self.interpret = interpret
         if local_mode not in ("single", "all"):
             raise ValueError(f"unknown local_mode {local_mode!r}")
+        if local_mode == "all" and not algorithm.is_local:
+            raise ValueError("local_mode='all' requires a local algorithm")
         self.local_mode = local_mode
+        self.max_inflight = max_inflight or 0
 
     def _oracle_fallback(self, ds: PairDataset, i: int) -> AlignmentResult:
         ref, qry = ds.pair(i)
@@ -131,12 +143,17 @@ class AlignmentEngine:
                 payload = json.load(f)
         except (OSError, ValueError):
             return None
-        return [AlignmentResult(*rec) for rec in payload]
+        return [
+            AlignmentResult(*rec[:5], extra_paths=[tuple(p) for p in rec[5]])
+            if len(rec) > 5 else AlignmentResult(*rec)
+            for rec in payload
+        ]
 
     @staticmethod
     def _save_checkpoint(path: str, results: list[AlignmentResult]) -> None:
         payload = [
             [r.pair_num, r.score, r.ref_aligned, r.relation, r.query_aligned]
+            + ([[list(p) for p in r.extra_paths]] if r.extra_paths else [])
             for r in results
         ]
         tmp = path + ".tmp"
@@ -154,6 +171,17 @@ class AlignmentEngine:
         timer = PhaseTimer()
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
+        if self.local_mode == "all":
+            # BACKTRACK_ALL needs the full score matrix per pair; every
+            # pair runs on the oracle (kernels store packed single-path
+            # directions only).  c++/LinearSmithWaterman.cpp:116-228.
+            results = []
+            with timer.phase("backtrack"):
+                for i in range(len(ds)):
+                    results.append(self._oracle_fallback(ds, i))
+            with timer.phase("printing"):
+                results.sort(key=lambda r: r.pair_num)
+            return EngineResult(results, timer, ds.num_cells)
         # pairs with an empty side cannot enter the kernel (no DP interior);
         # they fall back to the oracle
         empty_idx = np.flatnonzero((ds.ref_len == 0) | (ds.qry_len == 0))
@@ -179,12 +207,26 @@ class AlignmentEngine:
         else:
             pending = buckets
 
+        # Sliding-window dispatch (the V13 STREAM_BATCH_SIZE bound,
+        # cuda/LNW/LinearNeedlemanWunschV13.cu:10): keep at most
+        # max_inflight buckets' kernels outstanding so the device never
+        # holds more than that many direction tensors; the consumer below
+        # blocks on the oldest while the rest still run (the V19 overlap).
         launches: list[tuple[Bucket, tuple]] = []
-        with timer.phase("dispatch"):
-            for b in pending:
-                launches.append((b, self._dispatch(b)))
+        next_up = 0
 
-        for b, (scores, srow, scol, dirs) in launches:
+        def _top_up():
+            nonlocal next_up
+            limit = self.max_inflight or len(pending)
+            while next_up < len(pending) and len(launches) < limit:
+                b = pending[next_up]
+                with timer.phase("dispatch"):
+                    launches.append((b, self._dispatch(b)))
+                next_up += 1
+
+        _top_up()
+        while launches:
+            b, (scores, srow, scol, dirs) = launches.pop(0)
             with timer.phase("kernel"):
                 # blocks only on this bucket; later kernels keep running
                 fill = BucketFill(
@@ -214,6 +256,7 @@ class AlignmentEngine:
                         ),
                         bucket_results,
                     )
+            _top_up()  # refill the dispatch window
         with timer.phase("backtrack"):
             for i in empty_idx:
                 results.append(self._oracle_fallback(ds, int(i)))

@@ -43,8 +43,10 @@ def unpack_pair_dirs(
 ):
     """Decode one pair's packed words -> oracle-style direction matrices.
 
-    words: (MW, N) int32, 8 query rows per word (row i of the DP interior is
-    bits [4*(i%8) .. 4*(i%8)+3] of word row i//8).
+    words: (MW, N) int32 with 32//bits query rows per word, where bits =
+    bits_per_cell(algorithm): 16 rows/word for the 2-bit linear aligners,
+    8 rows/word for 4-bit affine.  DP interior row i sits at bits
+    [bits*(i%rows) .. bits*(i%rows)+bits-1] of word row i//rows.
 
     Returns (main_dirs, e_dirs, f_dirs) of shape (qlen+1, rlen+1) uint8 with
     the oracle's border conventions (row/col 0 forced INSERTION/DELETION for
