@@ -33,16 +33,25 @@ BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
 
 def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
               batch_pairs=32768, iters=3, algorithm="lnw", verbose=True,
-              profile_dir=None):
+              profile_dir=None, kernel="auto", stripe=None):
     from tpu_align.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    import functools
+
     from tpu_align.core.params import Algorithm, AlignmentParams
     from tpu_align.io import BucketSpec, bucketize
     from tpu_align.kernels.fill import fill_bucket_async
+    from tpu_align.kernels.stagger import STRIPE_S, fill_stagger_bucket_async
     from tpu_align.utils import synthetic_dataset
 
     algo = Algorithm(algorithm)
+    if kernel == "auto":
+        kernel = "rowscan" if algo.is_banded else "stagger"
+    if kernel == "stagger":
+        fill_bucket_async = functools.partial(
+            fill_stagger_bucket_async, stripe_s=stripe or STRIPE_S
+        )
     params = AlignmentParams()
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
 
@@ -176,6 +185,12 @@ def main():
     ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--algorithm", default="lnw")
+    ap.add_argument("--kernel", default="auto",
+                    choices=["auto", "stagger", "rowscan"],
+                    help="fill kernel: stagger wavefront (default for "
+                         "lnw/lsw/anw) or row-scan")
+    ap.add_argument("--stripe", type=int, default=None,
+                    help="stagger stripe width S (default STRIPE_S)")
     ap.add_argument("--scores-only", action="store_true")
     ap.add_argument("--engine", action="store_true",
                     help="end-to-end engine bench with phase breakdown "
@@ -195,7 +210,7 @@ def main():
             num_pairs=args.pairs, seq_len=args.seq_len,
             with_traceback=not args.scores_only, batch_pairs=args.batch,
             iters=args.iters, algorithm=args.algorithm, verbose=not args.quiet,
-            profile_dir=args.profile,
+            profile_dir=args.profile, kernel=args.kernel, stripe=args.stripe,
         )
     print(json.dumps(result))
 

@@ -43,20 +43,40 @@ constexpr int kAlgoANW = 2;
 constexpr int kAlgoBSW = 3;
 
 struct PackedDirs {
-  // One pair's view into the (mw, b_total, n) word tensor: `words` points
-  // at the pair's first word-row; consecutive word-rows are `stride` apart.
-  // `bits` is the per-cell width: 2 for the linear aligners (16 rows/word),
-  // 4 for affine (8 rows/word).
+  // One pair's view into a packed direction tensor.  Two layouts:
+  //
+  // Row-major (stag_s == 0): tensor (mw, b_total, n); `words` points at the
+  // pair's first word-row, consecutive word-rows `stride` apart; DP row i
+  // sits at bits [bits*((i-1)%per)..] of word (i-1)/per.
+  //
+  // Stagger (stag_s == S > 0, tpu_align/kernels/stagger.py): tensor
+  // (stripes, stag_w, S, b_total); `words` = base + pair, `stride` =
+  // b_total; cell (i, j) lives in stripe (i-1)/S, sublane r = (i-1)%S,
+  // step k = (j-1) + r, word k/per at bits [bits*(k%per)..].
+  //
+  // `bits` is the per-cell width: 2 for the linear aligners (16 cells/word),
+  // 4 for affine (8 cells/word).
   const int32_t* words;
   int64_t stride;
   int bits;
+  int64_t stag_s = 0;
+  int64_t stag_w = 0;
 
   // packed code of interior DP cell (i, j), 1-based
   inline int code(int64_t i, int64_t j) const {
+    if (stag_s > 0) {
+      const int per = 32 / bits;
+      const int64_t s = (i - 1) / stag_s;
+      const int64_t r = (i - 1) % stag_s;
+      const int64_t k = (j - 1) + r;
+      const uint32_t w = static_cast<uint32_t>(
+          words[(((s * stag_w + k / per) * stag_s) + r) * stride]);
+      return static_cast<int>((w >> (bits * (k % per))) & ((1u << bits) - 1));
+    }
     return code_slot(i, j - 1);
   }
 
-  // raw 0-based word-column lookup (used by the banded skewed layout)
+  // raw 0-based word-column lookup (row-major and banded skewed layouts)
   inline int code_slot(int64_t i, int64_t slot) const {
     const int64_t r = i - 1;
     const int per = 32 / bits;
@@ -207,7 +227,8 @@ void walk_anw(const PackedDirs& d, const uint8_t* ref, const uint8_t* qry,
 
 void traceback_range(
     int algo, int64_t lo, int64_t hi, int64_t mw, int64_t b_total, int64_t n,
-    int64_t dirs_cols, int64_t skew_band, int bits, int match, int mismatch,
+    int64_t dirs_cols, int64_t skew_band, int64_t stag_s, int64_t stag_w,
+    int bits, int match, int mismatch,
     int gap, int64_t m, const int32_t* dirs, const uint8_t* ref_tokens,
     const uint8_t* qry_tokens, const int32_t* ref_len, const int32_t* qry_len,
     const int32_t* start_row, const int32_t* start_col, const int32_t* scores,
@@ -220,7 +241,10 @@ void traceback_range(
     w.ref_out.clear();
     w.rel_out.clear();
     w.qry_out.clear();
-    const PackedDirs d{dirs + b * dirs_cols, b_total * dirs_cols, bits};
+    const PackedDirs d =
+        (stag_s > 0)
+            ? PackedDirs{dirs + b, b_total, bits, stag_s, stag_w}
+            : PackedDirs{dirs + b * dirs_cols, b_total * dirs_cols, bits};
     const uint8_t* ref = ref_tokens + b * n;
     const uint8_t* qry = qry_tokens + b * m;
     if (local && scores[b] <= 0) {
@@ -250,9 +274,98 @@ void traceback_range(
   }
 }
 
+// Replay a lane's 2-bit device-walk move stream (tpu_align/traceback/
+// device.py: 0 = no-op, 1 = diagonal, 2 = query deletion, 3 = query
+// insertion, walk order end -> start) into the three output lines.
+void replay_range(
+    int64_t lo, int64_t hi, int64_t t16, int64_t b_total, int64_t n,
+    int64_t m, int local, const int32_t* moves, const uint8_t* ref_tokens,
+    const uint8_t* qry_tokens, const int32_t* start_row,
+    const int32_t* start_col, const int32_t* scores, char* out_buf,
+    int64_t out_stride, int32_t* out_lens) {
+  Walker w;
+  w.reserve(static_cast<size_t>(m + n));
+  for (int64_t b = lo; b < hi; ++b) {
+    if (local && scores[b] <= 0) {
+      out_lens[b] = 0;
+      continue;
+    }
+    w.ref_out.clear();
+    w.rel_out.clear();
+    w.qry_out.clear();
+    const uint8_t* ref = ref_tokens + b * n;
+    const uint8_t* qry = qry_tokens + b * m;
+    int64_t r = start_row[b], c = start_col[b];
+    for (int64_t t = 0; t < t16 * 16; ++t) {
+      const uint32_t word =
+          static_cast<uint32_t>(moves[(t / 16) * b_total + b]);
+      const int mv = static_cast<int>((word >> (2 * (t % 16))) & 3);
+      if (mv == 0) continue;
+      if (mv == 1) {
+        const char rc = static_cast<char>(ref[c - 1]);
+        const char qc = static_cast<char>(qry[r - 1]);
+        w.emit(rc, rc == qc ? kRelMatch : kRelMismatch, qc);
+        --r; --c;
+      } else if (mv == 2) {
+        w.emit(kGapChar, kRelGap, static_cast<char>(qry[r - 1]));
+        --r;
+      } else {
+        w.emit(static_cast<char>(ref[c - 1]), kRelGap, kGapChar);
+        --c;
+      }
+    }
+    const int64_t len = static_cast<int64_t>(w.ref_out.size());
+    out_lens[b] = static_cast<int32_t>(len);
+    char* dst = out_buf + b * 3 * out_stride;
+    for (int64_t k = 0; k < len; ++k) {
+      dst[k] = w.ref_out[len - 1 - k];
+      dst[out_stride + k] = w.rel_out[len - 1 - k];
+      dst[2 * out_stride + k] = w.qry_out[len - 1 - k];
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Device-walk move replay: moves (t16, b_total) int32 packed 16 2-bit codes
+// per word; out_buf as in ta_traceback_bucket.  Returns 0 on success.
+// ---------------------------------------------------------------------------
+int ta_replay_moves(
+    int64_t batch, int64_t b_total, int64_t t16, int64_t n, int64_t m,
+    int local, const int32_t* moves, const uint8_t* ref_tokens,
+    const uint8_t* qry_tokens, const int32_t* start_row,
+    const int32_t* start_col, const int32_t* scores, char* out_buf,
+    int64_t out_stride, int32_t* out_lens, int num_threads) {
+  if (out_stride < m + n) return -1;
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  num_threads = static_cast<int>(
+      std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
+  if (num_threads == 1 || batch < 64) {
+    replay_range(0, batch, t16, b_total, n, m, local, moves, ref_tokens,
+                 qry_tokens, start_row, start_col, scores, out_buf,
+                 out_stride, out_lens);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  const int64_t chunk = (batch + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(lo + chunk, batch);
+    if (lo >= hi) break;
+    threads.emplace_back(replay_range, lo, hi, t16, b_total, n, m, local,
+                         moves, ref_tokens, qry_tokens, start_row, start_col,
+                         scores, out_buf, out_stride, out_lens);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
 
 // ---------------------------------------------------------------------------
 // Traceback: walk every pair of a bucket into three alignment strings.
@@ -267,7 +380,8 @@ extern "C" {
 // ---------------------------------------------------------------------------
 int ta_traceback_bucket(
     int algo, int64_t batch, int64_t b_total, int64_t mw, int64_t n,
-    int64_t dirs_cols, int64_t skew_band, int bits, int match, int mismatch,
+    int64_t dirs_cols, int64_t skew_band, int64_t stag_s, int64_t stag_w,
+    int bits, int match, int mismatch,
     int gap, int64_t m, const int32_t* dirs, const uint8_t* ref_tokens,
     const uint8_t* qry_tokens, const int32_t* ref_len, const int32_t* qry_len,
     const int32_t* start_row, const int32_t* start_col, const int32_t* scores,
@@ -281,9 +395,9 @@ int ta_traceback_bucket(
       std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
   if (num_threads == 1 || batch < 64) {
     traceback_range(algo, 0, batch, mw, b_total, n, dirs_cols, skew_band,
-                    bits, match, mismatch, gap, m, dirs, ref_tokens,
-                    qry_tokens, ref_len, qry_len, start_row, start_col,
-                    scores, out_buf, out_stride, out_lens);
+                    stag_s, stag_w, bits, match, mismatch, gap, m, dirs,
+                    ref_tokens, qry_tokens, ref_len, qry_len, start_row,
+                    start_col, scores, out_buf, out_stride, out_lens);
     return 0;
   }
   std::vector<std::thread> threads;
@@ -294,7 +408,8 @@ int ta_traceback_bucket(
     const int64_t hi = std::min<int64_t>(lo + chunk, batch);
     if (lo >= hi) break;
     threads.emplace_back(traceback_range, algo, lo, hi, mw, b_total, n,
-                         dirs_cols, skew_band, bits, match, mismatch, gap, m,
+                         dirs_cols, skew_band, stag_s, stag_w, bits, match,
+                         mismatch, gap, m,
                          dirs, ref_tokens, qry_tokens, ref_len, qry_len,
                          start_row, start_col, scores, out_buf, out_stride,
                          out_lens);

@@ -143,3 +143,102 @@ def test_dense_bsw_sparse_alphabet_fuzz(rng):
         for _ in range(12)
     ]
     _run_and_compare(Algorithm.BSW, params, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Stagger-wavefront kernel (kernels/stagger.py)
+# ---------------------------------------------------------------------------
+
+from tpu_align.kernels.stagger import fill_stagger_bucket  # noqa: E402
+
+STAGGER_ALGOS = [Algorithm.LNW, Algorithm.LSW, Algorithm.ANW]
+
+
+def _run_and_compare_stagger(algo, params, pairs, stripe_s=32):
+    ds = PairDataset.from_pairs(pairs)
+    spec = BucketSpec(batch_pairs=64, query_multiple=64)
+    got = {}
+    for b in bucketize(ds, spec):
+        fill = fill_stagger_bucket(algo, params, b.ref_tokens, b.qry_tokens,
+                                   b.ref_len, b.qry_len, stripe_s=stripe_s)
+        for res in traceback_bucket(algo, b, fill, params):
+            got[res.pair_num] = res
+    for i, (ref, qry) in enumerate(pairs):
+        want = align_pair(algo, params, ref, qry, pair_num=i, engine="scalar")
+        r = got[i]
+        assert r.block() == want.block(), (
+            f"{algo} pair {i}: ref={ref!r} qry={qry!r}\n{r.block()}\n"
+            f"{want.block()}"
+        )
+
+
+@pytest.mark.parametrize("algo", STAGGER_ALGOS)
+def test_stagger_matches_oracle_random(rng, algo):
+    pairs = [(random_dna(rng, 1, 70), random_dna(rng, 1, 70))
+             for _ in range(10)]
+    _run_and_compare_stagger(algo, PARAMS, pairs)
+
+
+@pytest.mark.parametrize("algo", STAGGER_ALGOS)
+def test_stagger_edge_pairs(algo):
+    pairs = [
+        ("A", "A"),
+        ("A", "T"),
+        ("AAAA", "TTTT"),
+        ("ACGTACGTACGT", "ACG"),
+        ("ACG", "ACGTACGTACGT"),
+        ("A" * 129, "A" * 70),  # crosses the 128-lane boundary
+        ("ACGT" * 12, "ACGT" * 12),  # query crosses the stripe boundary
+    ]
+    _run_and_compare_stagger(algo, PARAMS, pairs)
+
+
+@pytest.mark.parametrize("algo", STAGGER_ALGOS)
+def test_stagger_tie_rich_sparse_alphabet(rng, algo):
+    """Tie-chain parity on 2-letter sequences (maximal `>=` pressure)."""
+    pairs = [(random_dna(rng, 2, 40, alphabet="AC"),
+              random_dna(rng, 2, 40, alphabet="AC")) for _ in range(10)]
+    _run_and_compare_stagger(algo, PARAMS, pairs)
+
+
+def test_stagger_alt_params_and_stripe(rng):
+    params = AlignmentParams(match=5, mismatch=-2, gap=-3, gap_open=-6,
+                             gap_extend=-2)
+    pairs = [(random_dna(rng, 1, 50), random_dna(rng, 30, 50))
+             for _ in range(6)]
+    for algo in STAGGER_ALGOS:
+        _run_and_compare_stagger(algo, params, pairs, stripe_s=16)
+
+
+def test_stagger_scores_only(rng):
+    pairs = [(random_dna(rng, 1, 50), random_dna(rng, 1, 50))
+             for _ in range(8)]
+    ds = PairDataset.from_pairs(pairs)
+    for algo in STAGGER_ALGOS:
+        for b in bucketize(ds, BucketSpec(batch_pairs=8, query_multiple=64)):
+            fill = fill_stagger_bucket(algo, PARAMS, b.ref_tokens,
+                                       b.qry_tokens, b.ref_len, b.qry_len,
+                                       with_traceback=False)
+            assert fill.dirs is None
+            for row in range(b.num_real):
+                i = int(b.pair_ids[row])
+                want = align_pair(algo, PARAMS, *pairs[i], engine="scalar")
+                assert int(fill.scores[row]) == want.score, (algo, i)
+
+
+def test_stagger_local_start_cell_semantics(rng):
+    """Stagger argmax must keep the first row-major maximum
+    (cuda/LinearSmithWaterman.cu:300-311), including across stripes."""
+    pairs = [(random_dna(rng, 10, 80, alphabet="AC"),
+              random_dna(rng, 40, 80, alphabet="AC")) for _ in range(8)]
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=8, query_multiple=96)):
+        fill = fill_stagger_bucket(Algorithm.LSW, PARAMS, b.ref_tokens,
+                                   b.qry_tokens, b.ref_len, b.qry_len,
+                                   with_traceback=False)
+        for row in range(b.num_real):
+            i = int(b.pair_ids[row])
+            want = fill_scalar(Algorithm.LSW, PARAMS, *pairs[i]).local_max()
+            got = (int(fill.scores[row]), int(fill.start_row[row]),
+                   int(fill.start_col[row]))
+            assert got == want, f"pair {i}: {got} != {want}"

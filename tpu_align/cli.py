@@ -12,8 +12,17 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# Honor JAX_PLATFORMS before any jax-touching import: some platform
+# plugins (e.g. the tunneled axon TPU) register themselves regardless of
+# the env var, so pin the platform through jax.config explicitly.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.io.bucketing import BucketSpec
@@ -45,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "every max cell (the CPU BACKTRACK_ALL switch, "
                         "c++/LinearSmithWaterman.h:9; oracle path, no "
                         "kernels)")
+    p.add_argument("-traceback", default="host", choices=["host", "device"],
+                   help="walk packed directions on the host (threaded "
+                        "native walker) or on the accelerator (V8-style; "
+                        "only move streams transfer)")
+    p.add_argument("-kernel", default="auto",
+                   choices=["auto", "stagger", "rowscan"],
+                   help="fill formulation for lnw/lsw/anw")
     p.add_argument("-max-inflight", type=int, default=4,
                    help="bucket kernels outstanding at once (V13 "
                         "STREAM_BATCH_SIZE analogue; 0 = unbounded)")
@@ -80,6 +96,8 @@ def main(argv=None) -> int:
         with_traceback=not args.scores_only,
         local_mode="all" if args.all_paths else "single",
         max_inflight=args.max_inflight,
+        kernel=args.kernel,
+        traceback=args.traceback,
     )
     out = engine.run(ds, checkpoint_dir=args.checkpoint_dir)
     if not args.no_output:

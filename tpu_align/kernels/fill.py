@@ -434,6 +434,8 @@ class BucketFill:
     dirs: np.ndarray | None
     band: int | None = None  # set by the banded kernel: dirs are in the
     #                          skewed (MW, B, 2*band-frame) layout
+    stagger: int | None = None  # set by the stagger kernel: dirs are in the
+    #                             (stripes, W, S, B) step-packed layout
 
 
 def _default_interpret() -> bool:

@@ -1,0 +1,488 @@
+"""Stagger-wavefront Pallas fill kernels (LNW / LSW / ANW).
+
+This is the vector form of the reference's warp stagger
+(cuda/LNW/LinearNeedlemanWunschV19.cu:178-314): instead of sweeping whole
+DP rows and resolving the within-row dependency with a log2(N) prefix-max
+scan (kernels/fill.py), each of S sublanes owns one query row of a stripe
+and the stripe advances along anti-diagonals -- sublane r at step k
+computes cell (i, j) = (i0 + r + 1, k - r + 1).  Every dependency becomes
+a unit sublane shift or a register from the previous step:
+
+    left  H[i][j-1]  = own sublane, previous step        (s1)
+    up    H[i-1][j]  = sublane r-1, previous step        (roll(s1, 1))
+    diag  H[i-1][j-1]= sublane r-1, two steps back       (roll(s2, 1))
+
+so the ~21-op scan disappears and the kernel runs ~2x fewer VPU ops per
+cell.  Work redundancy is only (N + S - 1)/N (pipeline fill/drain at the
+stripe edges), the same amortization argument as the reference's 32-thread
+warp stagger over long rows.
+
+Cross-stripe hand-off: the stripe's bottom row is streamed into a VMEM
+row buffer one column per step (dynamic sublane store), and the next
+stripe's sublane 0 reads its up/diag neighbours back with one dynamic
+sublane load per step -- the TPU analogue of the reference's cross-stripe
+shared-memory hand-off (V19.cu:210-212, 290-292).
+
+Reference characters: sublane r needs ref[k - r], a *reversed* S-window of
+the reference that slides one position per step.  A reversed staging array
+revref[t] = ref[N-1-(t-S)] turns this into one dynamic sublane slice per
+step (revref[S+N-1-k .. +S]); no per-step shuffles.
+
+Scores stay in plain H-space (no G-space rank reduction needed -- there is
+no scan to de-rank).  Direction words pack the STEP axis: step k of a
+stripe lands in word k//16 at bits 2*(k%16) (4-bit/8-step for affine), one
+(S, P) word-plane written per 16 (8) steps, laid out (stripes, W, S, B).
+The walker maps cell (i, j) -> stripe (i-1)//S, sublane (i-1)%S, step
+k = (j-1) + (i-1)%S.
+
+Tie-break semantics are exactly the reference's `__vibmax >=` chains via
+the DPX layer, identical to kernels/fill.py (byte-compared in tests).
+BSW keeps its own skewed-band kernel (kernels/banded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_align.core import directions as D
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.kernels.fill import (
+    NEG,
+    TILE_P,
+    BucketFill,
+    _default_interpret,
+    _pad_batch,
+    bits_per_cell,
+)
+from tpu_align.ops import dpx
+
+STRIPE_S = 32  # query rows per stripe (sublane stagger width); tunable
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _iota_s(shape):
+    """Sublane-axis iota r = 0..S-1, broadcast over pairs."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
+
+
+def _shift1(x, fill_row):
+    """Sublane shift down by one: out[r] = x[r-1]; out[0] = fill_row
+    (a (1, P) row, broadcast into sublane 0)."""
+    rolled = pltpu.roll(x, 1, axis=0)
+    return jnp.where(_iota_s(x.shape) == 0, fill_row, rolled)
+
+
+def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
+                         s_rows: int, k16: int, tile_p: int,
+                         with_traceback: bool):
+    is_local = algo.is_local
+    is_affine = algo.is_affine
+    S = s_rows
+    bits = bits_per_cell(algo)
+    spw = 32 // bits  # steps per direction word
+    num_words = k16 // spw
+    # plain Python ints: they fold into the trace as immediates (a jnp
+    # constant created here would be captured as a kernel const, which
+    # pallas_call rejects)
+    match_w = p.match
+    mismatch_w = p.mismatch
+    gap = p.gap
+    go, ge = p.gap_open, p.gap_extend
+    goe = p.gap_open + p.gap_extend
+
+    def kernel(revref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
+        if with_traceback:
+            dirs_ref, *scratch = rest
+        else:
+            dirs_ref, scratch = None, list(rest)
+        if is_affine:
+            rowbuf_h, rowbuf_f, best_s, brow_s, bcol_s = scratch
+        else:
+            rowbuf_h, best_s, brow_s, bcol_s = scratch
+            rowbuf_f = None
+        stripe = pl.program_id(1)
+        num_stripes = pl.num_programs(1)
+        shape = (S, tile_p)
+        io = _iota_s(shape)
+        i0 = stripe * S  # rows of this stripe are i0+1 .. i0+S (1-based)
+        i_slab = i0 + io + 1  # DP row per sublane
+        rlen = rlen_ref[0:1, :]
+        qlen = qlen_ref[0:1, :]
+        qslab = qry_ref[:, :].astype(jnp.int32)  # (S, P) query chars
+
+        @pl.when(stripe == 0)
+        def _init():
+            # DP border row H[0][j] (indexed by column j on the sublane axis)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (rowbuf_h.shape[0], tile_p), 0
+            )
+            if is_local:
+                rowbuf_h[:, :] = jnp.zeros_like(cols)
+            elif is_affine:
+                # H[0][j] = go + j*ge, H[0][0] = 0
+                rowbuf_h[:, :] = jnp.where(cols == 0, 0, go + cols * ge)
+                rowbuf_f[:, :] = jnp.full_like(cols, NEG)  # F row 0 = -inf
+            else:
+                rowbuf_h[:, :] = cols * gap  # H[0][j] = j*gap
+            best_s[:, :] = jnp.full((1, tile_p), NEG, jnp.int32)
+            brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
+            bcol_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
+
+        # per-stripe border columns (H[i][0] etc.), injected at step k == r
+        if is_local:
+            border_left = jnp.zeros(shape, jnp.int32)
+            border_diag = jnp.zeros(shape, jnp.int32)
+        elif is_affine:
+            border_left = goe - ge + i_slab * ge  # H[i][0] = go + i*ge
+            border_diag = jnp.where(
+                i_slab == 1, 0, goe - ge + (i_slab - 1) * ge
+            )
+        else:
+            border_left = i_slab * gap
+            border_diag = (i_slab - 1) * gap
+        neg_slab = jnp.full(shape, NEG, jnp.int32)
+        qmask = i_slab <= qlen  # row within the true query
+
+        def step(k, carry):
+            """One anti-diagonal step: sublane r computes column j = k-r+1."""
+            if is_affine:
+                (s1, s2, s1f, s1e, rbk, rbkf, acc,
+                 rowmax, rowcol) = carry
+            else:
+                s1, s2, rbk, acc, rowmax, rowcol = carry
+                s1f = s1e = rbkf = None
+            inj = io == k  # sublane starting its row this step (j == 1)
+            # neighbour loads from the previous stripe's bottom row
+            rbk1 = rowbuf_h[pl.ds(k + 1, 1), :]
+            up = _shift1(s1, rbk1)
+            diag = jnp.where(inj, border_diag, _shift1(s2, rbk))
+            left = jnp.where(inj, border_left, s1)
+            # substitution: ref[k - r] via the sliding reversed window
+            start = jnp.maximum(S + n_cols - 1 - k, 0)
+            refslab = revref_ref[pl.ds(start, S), :].astype(jnp.int32)
+            is_match = refslab == qslab
+            w = jnp.where(is_match, match_w, mismatch_w)
+            mm = diag + w
+            if is_affine:
+                rbk1f = rowbuf_f[pl.ds(k + 1, 1), :]
+                upf = _shift1(s1f, rbk1f)
+                # F: open vs extend, __vibmax open >= extend -> GAP_OPEN
+                f_open = up + goe
+                f_ext = upf + ge
+                f_row, f_open_wins = dpx.vibmax_s32(f_open, f_ext)
+                # E: left-dependency, same-sublane previous step
+                e_prev = jnp.where(inj, neg_slab, s1e)
+                e_open = left + goe
+                e_ext = e_prev + ge
+                e_row, e_open_wins = dpx.vibmax_s32(e_open, e_ext)
+                # H chain: best = mm; F >= best -> DEL; E >= best -> INS
+                best1, take_del = dpx.vibmax_s32(f_row, mm)
+                h, take_ins = dpx.vibmax_s32(e_row, best1)
+                if with_traceback:
+                    d = jnp.where(is_match, D.MAIN_DIAG_MATCH,
+                                  D.MAIN_DIAG_MISMATCH)
+                    d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
+                    d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
+                    d = d | jnp.where(f_open_wins, 0, D.BIT_F_EXTEND)
+                    d = d | jnp.where(e_open_wins, 0, D.BIT_E_EXTEND)
+                    acc = acc | (d << (bits * (k % spw)))
+            else:
+                dele = up + gap
+                ins = left + gap
+                if algo is Algorithm.LNW:
+                    # chain (c++/LinearNeedlemanWunsch.cpp:122-126):
+                    # best = mm; dele >= best -> DEL; ins >= best -> INS
+                    t, take_del = dpx.vibmax_s32(dele, mm)
+                    h, take_ins = dpx.vibmax_s32(ins, t)
+                else:
+                    # LSW (cuda/LinearSmithWaterman.cu:126-137):
+                    # best = mm; ins >= best -> INS; dele >= best -> DEL;
+                    # 0-clamp (stop recovered by re-scoring in the walker)
+                    b1, take_ins = dpx.vibmax_s32(ins, mm)
+                    h0, take_del = dpx.vibmax_s32(dele, b1)
+                    h = jnp.maximum(h0, 0)
+                if with_traceback:
+                    d = jnp.where(is_match, D.MAIN_DIAG_MATCH,
+                                  D.MAIN_DIAG_MISMATCH)
+                    if algo is Algorithm.LNW:
+                        d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
+                        d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
+                    else:
+                        d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
+                        d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
+                    acc = acc | (d << (bits * (k % spw)))
+
+            jcol = k - io + 1  # DP column per sublane
+            if is_local:
+                # per-row running max (strict > keeps the earliest column);
+                # merged across rows once per stripe below
+                valid = jnp.logical_and(
+                    jnp.logical_and(io <= k, jcol <= rlen), qmask
+                )
+                cand = jnp.where(valid, h, NEG)
+                upd = cand > rowmax
+                rowmax = jnp.where(upd, cand, rowmax)
+                rowcol = jnp.where(upd, jcol, rowcol)
+            else:
+                # capture H[qlen][rlen] the moment it is computed
+                sel = jnp.logical_and(jcol == rlen,
+                                      jnp.logical_and(i_slab == qlen, io <= k))
+                cap = jnp.max(jnp.where(sel, h, NEG), axis=0, keepdims=True)
+                rowmax = jnp.maximum(rowmax, cap)
+
+            # stream the stripe's bottom row into the hand-off buffer
+            jb = k - (S - 1) + 1  # column finished by sublane S-1 this step
+            # the store index must be clamped nonnegative even though the
+            # store is predicated off for jb < 1: Mosaic faults on a
+            # negative dynamic sublane store address (TPU worker crash,
+            # found empirically by bisection)
+            jbs = jnp.maximum(jb, 0)
+
+            @pl.when(jnp.logical_and(jb >= 1, jb <= n_cols))
+            def _store_bottom():
+                rowbuf_h[pl.ds(jbs, 1), :] = h[S - 1:S, :]
+                if is_affine:
+                    rowbuf_f[pl.ds(jbs, 1), :] = f_row[S - 1:S, :]
+
+            if is_affine:
+                return (h, s1, f_row, e_row, rbk1, rbk1f, acc,
+                        rowmax, rowcol)
+            return h, s1, rbk1, acc, rowmax, rowcol
+
+        def word_step(wi, carry):
+            # one direction word's worth of steps, fully unrolled (the
+            # fori_loop body is traced once; Mosaic software-pipelines the
+            # serial step chain across the unrolled body)
+            slabs, word_carry = carry
+            acc = jnp.zeros(shape, jnp.int32)
+            if is_affine:
+                s1, s2, s1f, s1e, rbk, rbkf = slabs
+                st = (s1, s2, s1f, s1e, rbk, rbkf, acc) + word_carry
+            else:
+                s1, s2, rbk = slabs
+                st = (s1, s2, rbk, acc) + word_carry
+            for sub in range(spw):
+                st = step(wi * spw + sub, st)
+            if is_affine:
+                slabs = st[:6]
+                acc = st[6]
+                word_carry = st[7:]
+            else:
+                slabs = st[:3]
+                acc = st[3]
+                word_carry = st[4:]
+            if with_traceback:
+                dirs_ref[0, wi, :, :] = acc
+            return slabs, word_carry
+
+        junk = jnp.zeros(shape, jnp.int32)
+        rb0 = rowbuf_h[pl.ds(0, 1), :]
+        if is_affine:
+            slabs = (junk, junk, neg_slab, neg_slab, rb0,
+                     rowbuf_f[pl.ds(0, 1), :])
+        else:
+            slabs = (junk, junk, rb0)
+        if is_local:
+            word_carry = (jnp.full(shape, NEG, jnp.int32),
+                          jnp.zeros(shape, jnp.int32))
+        else:
+            word_carry = (jnp.full((1, tile_p), NEG, jnp.int32),
+                          jnp.zeros(shape, jnp.int32))  # rowcol unused
+        slabs, word_carry = jax.lax.fori_loop(
+            0, num_words, word_step, (slabs, word_carry)
+        )
+        rowmax, rowcol = word_carry
+
+        if is_local:
+            # merge the stripe's per-row maxima into the global best with
+            # row-major first-occurrence semantics
+            # (cuda/LinearSmithWaterman.cu:300-311)
+            masked = jnp.where(qmask, rowmax, NEG)
+            stripe_max = jnp.max(masked, axis=0, keepdims=True)
+            enc = jnp.where(
+                masked == stripe_max, io * jnp.int32(1 << 20) + rowcol,
+                jnp.int32(2**30),
+            )
+            mn = jnp.min(enc, axis=0, keepdims=True)
+            r_best = mn >> 20
+            c_best = mn & ((1 << 20) - 1)
+            upd = stripe_max > best_s[:, :]
+            best_s[:, :] = jnp.where(upd, stripe_max, best_s[:, :])
+            brow_s[:, :] = jnp.where(upd, i0 + r_best + 1, brow_s[:, :])
+            bcol_s[:, :] = jnp.where(upd, c_best, bcol_s[:, :])
+        else:
+            best_s[:, :] = jnp.maximum(best_s[:, :], rowmax)
+            brow_s[:, :] = qlen
+            bcol_s[:, :] = rlen
+
+        @pl.when(stripe == num_stripes - 1)
+        def _emit():
+            best = best_s[:, :]
+            if is_local:
+                pos = best > 0
+                score = jnp.where(pos, best, 0)
+                srow = jnp.where(pos, brow_s[:, :], 0)
+                scol = jnp.where(pos, bcol_s[:, :], 0)
+            else:
+                score, srow, scol = best, brow_s[:, :], bcol_s[:, :]
+            out_rows = _iota_s((8, tile_p))
+            meta = jnp.where(out_rows == 0, score, 0)
+            meta = jnp.where(out_rows == 1, srow, meta)
+            meta = jnp.where(out_rows == 2, scol, meta)
+            meta_ref[:, :] = meta
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "algorithm", "params", "with_traceback", "interpret", "stripe_s"))
+def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
+                      qry_len, with_traceback=True, interpret=False,
+                      stripe_s=STRIPE_S):
+    b, n = ref_tokens.shape
+    m = qry_tokens.shape[1]
+    S = stripe_s
+    assert m % 8 == 0, (b, m, n)
+    bp = b if interpret else _pad_batch(b)
+    if bp != b:
+        ref_tokens = jnp.pad(ref_tokens, ((0, bp - b), (0, 0)))
+        qry_tokens = jnp.pad(qry_tokens, ((0, bp - b), (0, 0)),
+                             constant_values=1)
+        ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
+        qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
+        b = bp
+    if m % S:  # pad query rows to whole stripes
+        pad_m = S - m % S
+        qry_tokens = jnp.pad(qry_tokens, ((0, 0), (0, pad_m)),
+                             constant_values=1)
+        m = m + pad_m
+    tile_p = TILE_P if not interpret else (TILE_P if b % TILE_P == 0 else b)
+    bits = bits_per_cell(algorithm)
+    spw = 32 // bits
+    k16 = -(-(n + S - 1) // spw) * spw  # steps per stripe, whole words
+    num_words = k16 // spw
+    stripes = m // S
+    grid = (b // tile_p, stripes)
+    # reversed staging: revref[t] = ref[N-1-(t-S)]; sublane r of step k
+    # reads revref[S+N-1-k+r] = ref[k-r]
+    rl = _round8(n + 2 * S + spw)
+    ref_t = ref_tokens.astype(jnp.int32).T  # (N, B)
+    revref = jnp.zeros((rl, b), jnp.int32)
+    revref = revref.at[S:S + n, :].set(ref_t[::-1, :])
+    qry_t = qry_tokens.astype(jnp.int32).T  # (M, B)
+    rlen_t = ref_len.reshape(1, b).astype(jnp.int32)
+    qlen_t = qry_len.reshape(1, b).astype(jnp.int32)
+    kernel = _make_stagger_kernel(
+        algorithm, params, n, S, k16, tile_p, with_traceback,
+    )
+    out_shape = [jax.ShapeDtypeStruct((8, b), jnp.int32)]
+    out_specs = [
+        pl.BlockSpec((8, tile_p), lambda i, s: (0, i),
+                     memory_space=pltpu.VMEM)
+    ]
+    if with_traceback:
+        out_shape.append(
+            jax.ShapeDtypeStruct((stripes, num_words, S, b), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, num_words, S, tile_p),
+                         lambda i, s: (s, 0, 0, i), memory_space=pltpu.VMEM)
+        )
+    in_specs = [
+        pl.BlockSpec((rl, tile_p), lambda i, s: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, tile_p), lambda i, s: (s, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_p), lambda i, s: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_p), lambda i, s: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    rb = _round8(n + 2 * S + spw + 2)
+    scratch_shapes = [pltpu.VMEM((rb, tile_p), jnp.int32)]  # H hand-off row
+    if algorithm.is_affine:
+        scratch_shapes.append(pltpu.VMEM((rb, tile_p), jnp.int32))  # F row
+    scratch_shapes += [
+        pltpu.VMEM((1, tile_p), jnp.int32),  # best score
+        pltpu.VMEM((1, tile_p), jnp.int32),  # best row
+        pltpu.VMEM((1, tile_p), jnp.int32),  # best col
+    ]
+    flops_per_cell = 18 if algorithm.is_affine else 12
+    cost = pl.CostEstimate(
+        flops=flops_per_cell * b * m * (n + S),
+        bytes_accessed=b * (m + n) * 4
+        + (b * stripes * num_words * S * 4 if with_traceback else 0),
+        transcendentals=0,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=cost,
+    )(revref, qry_t, rlen_t, qlen_t)
+    meta = outs[0]
+    dirs = outs[1] if with_traceback else None
+    return meta[0, :], meta[1, :], meta[2, :], dirs
+
+
+def fill_stagger_bucket_async(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    ref_tokens, qry_tokens, ref_len, qry_len,
+    with_traceback: bool = True,
+    interpret: bool | None = None,
+    stripe_s: int = STRIPE_S,
+):
+    """Dispatch one bucket's stagger fill; returns async JAX arrays
+    (scores, srow, scol, dirs-(stripes, W, S, B)-or-None)."""
+    if algorithm.is_banded:
+        raise ValueError("BSW uses the skewed banded kernel")
+    if algorithm.is_affine and params.gap_open > 0:
+        raise ValueError("ANW kernel requires gap_open <= 0")
+    if interpret is None:
+        interpret = _default_interpret()
+    return _fill_stagger_jit(
+        algorithm, params,
+        jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),
+        jnp.asarray(ref_len), jnp.asarray(qry_len),
+        with_traceback=with_traceback, interpret=interpret,
+        stripe_s=stripe_s,
+    )
+
+
+def fill_stagger_bucket(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    ref_tokens, qry_tokens, ref_len, qry_len,
+    with_traceback: bool = True,
+    interpret: bool | None = None,
+    stripe_s: int = STRIPE_S,
+) -> BucketFill:
+    """Stagger fill (synchronous); dirs use the stagger word layout, tagged
+    with BucketFill.stagger = stripe width S."""
+    scores, srow, scol, dirs = fill_stagger_bucket_async(
+        algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
+        with_traceback=with_traceback, interpret=interpret,
+        stripe_s=stripe_s,
+    )
+    return BucketFill(
+        np.asarray(scores), np.asarray(srow), np.asarray(scol),
+        np.asarray(dirs) if dirs is not None else None,
+        stagger=stripe_s,
+    )

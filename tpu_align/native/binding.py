@@ -71,13 +71,27 @@ def _configure(lib) -> None:
     i64 = ctypes.c_int64
     lib.ta_traceback_bucket.restype = ctypes.c_int
     lib.ta_traceback_bucket.argtypes = [
-        ctypes.c_int, i64, i64, i64, i64, i64, i64,
+        ctypes.c_int, i64, i64, i64, i64, i64, i64, i64, i64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i64,
         ctypes.POINTER(ctypes.c_int32),  # dirs
         ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
         ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
         ctypes.POINTER(ctypes.c_int32),  # ref_len
         ctypes.POINTER(ctypes.c_int32),  # qry_len
+        ctypes.POINTER(ctypes.c_int32),  # start_row
+        ctypes.POINTER(ctypes.c_int32),  # start_col
+        ctypes.POINTER(ctypes.c_int32),  # scores
+        ctypes.c_char_p,                 # out_buf
+        i64,                             # out_stride
+        ctypes.POINTER(ctypes.c_int32),  # out_lens
+        ctypes.c_int,                    # num_threads
+    ]
+    lib.ta_replay_moves.restype = ctypes.c_int
+    lib.ta_replay_moves.argtypes = [
+        i64, i64, i64, i64, i64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),  # moves
+        ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
+        ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
         ctypes.POINTER(ctypes.c_int32),  # start_row
         ctypes.POINTER(ctypes.c_int32),  # start_col
         ctypes.POINTER(ctypes.c_int32),  # scores
@@ -107,7 +121,8 @@ def _ptr(arr, ctype):
 
 def native_traceback_bucket(
     algorithm_value: str,
-    dirs: np.ndarray,        # (MW, B_total, N) int32, C-contiguous
+    dirs: np.ndarray,        # (MW, B_total, N) int32, C-contiguous, or
+    #                          (stripes, W, S, B_total) when stagger > 0
     ref_tokens: np.ndarray,  # (B, N) uint8, B <= B_total
     qry_tokens: np.ndarray,  # (B, M) uint8
     ref_len: np.ndarray,     # (B,) int32
@@ -117,6 +132,7 @@ def native_traceback_bucket(
     scores: np.ndarray,
     num_threads: int = 0,
     skew_band: int = 0,
+    stagger: int = 0,
     bits: int = 4,
     match: int = 3,
     mismatch: int = -1,
@@ -128,7 +144,12 @@ def native_traceback_bucket(
     lib = _load()
     if lib is None:
         return None
-    mw, b_total, dirs_cols = dirs.shape
+    if stagger > 0:
+        _, stag_w, _, b_total = dirs.shape
+        mw, dirs_cols = 0, 0
+    else:
+        mw, b_total, dirs_cols = dirs.shape
+        stag_w = 0
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     stride = m + n
@@ -144,7 +165,7 @@ def native_traceback_bucket(
     out_lens = np.zeros(b, np.int32)
     rc = lib.ta_traceback_bucket(
         _ALGO_CODE[algorithm_value], b, b_total, mw, n, dirs_cols,
-        skew_band, bits, match, mismatch, gap, m,
+        skew_band, stagger, stag_w, bits, match, mismatch, gap, m,
         _ptr(dirs, ctypes.c_int32),
         _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
         _ptr(ref_len, ctypes.c_int32), _ptr(qry_len, ctypes.c_int32),
@@ -155,6 +176,48 @@ def native_traceback_bucket(
     )
     if rc != 0:
         raise RuntimeError(f"ta_traceback_bucket failed: {rc}")
+    return out_buf, out_lens
+
+
+def native_replay_moves(
+    moves: np.ndarray,       # (T16, B_total) int32 packed 2-bit codes
+    ref_tokens: np.ndarray,  # (B, N) uint8, B <= B_total
+    qry_tokens: np.ndarray,  # (B, M) uint8
+    start_row: np.ndarray,
+    start_col: np.ndarray,
+    scores: np.ndarray,
+    local: bool,
+    num_threads: int = 0,
+):
+    """Replay device-walk move streams into alignment strings (threaded).
+    Returns (out_buf (B, 3, stride) uint8, out_lens) or None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t16, b_total = moves.shape
+    b, n = ref_tokens.shape
+    m = qry_tokens.shape[1]
+    stride = m + n
+    moves = np.ascontiguousarray(moves, np.int32)
+    ref_tokens = np.ascontiguousarray(ref_tokens, np.uint8)
+    qry_tokens = np.ascontiguousarray(qry_tokens, np.uint8)
+    start_row = np.ascontiguousarray(start_row, np.int32)
+    start_col = np.ascontiguousarray(start_col, np.int32)
+    scores = np.ascontiguousarray(scores, np.int32)
+    out_buf = np.zeros((b, 3, stride), np.uint8)
+    out_lens = np.zeros(b, np.int32)
+    rc = lib.ta_replay_moves(
+        b, b_total, t16, n, m, 1 if local else 0,
+        _ptr(moves, ctypes.c_int32),
+        _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
+        _ptr(start_row, ctypes.c_int32), _ptr(start_col, ctypes.c_int32),
+        _ptr(scores, ctypes.c_int32),
+        out_buf.ctypes.data_as(ctypes.c_char_p), stride,
+        _ptr(out_lens, ctypes.c_int32), num_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"ta_replay_moves failed: {rc}")
     return out_buf, out_lens
 
 

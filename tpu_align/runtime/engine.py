@@ -28,6 +28,7 @@ from tpu_align.io.bucketing import Bucket, BucketSpec, bucketize
 from tpu_align.io.dataset import PairDataset
 from tpu_align.kernels.banded import fill_banded_bucket_async
 from tpu_align.kernels.fill import BucketFill, fill_bucket_async
+from tpu_align.kernels.stagger import STRIPE_S, fill_stagger_bucket_async
 from tpu_align.oracle.api import align_pair
 from tpu_align.runtime.profiler import PhaseTimer
 from tpu_align.traceback.host import traceback_bucket
@@ -67,6 +68,8 @@ class AlignmentEngine:
         interpret: bool | None = None,
         local_mode: str = "single",
         max_inflight: int = 4,
+        kernel: str = "auto",
+        traceback: str = "host",
     ):
         """local_mode (local aligners only): "single" follows the CUDA host
         semantics (one path from the first row-major max cell); "all"
@@ -80,7 +83,18 @@ class AlignmentEngine:
         cuda/LNW/LinearNeedlemanWunschV13.cu:10): device memory holds at
         most max_inflight buckets' direction tensors at once, so HBM
         footprint is O(max_inflight * bucket) instead of O(dataset).
-        0 / None = unbounded."""
+        0 / None = unbounded.
+
+        kernel selects the fill formulation for LNW/LSW/ANW: "stagger"
+        (anti-diagonal wavefront, kernels/stagger.py -- the fast path),
+        "rowscan" (row sweep + prefix-max scan, kernels/fill.py), or
+        "auto" (stagger).  BSW always uses the skewed banded kernel.
+
+        traceback="device" walks the packed directions ON the accelerator
+        (the reference's V8 move, traceback/device.py) so only 2-bit move
+        streams cross the host boundary -- ~128x less device-to-host
+        transfer than the direction tensor; output is byte-identical to
+        the host walk.  Requires the stagger kernel (LNW/LSW/ANW)."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
@@ -92,6 +106,19 @@ class AlignmentEngine:
             raise ValueError("local_mode='all' requires a local algorithm")
         self.local_mode = local_mode
         self.max_inflight = max_inflight or 0
+        if kernel not in ("auto", "stagger", "rowscan"):
+            raise ValueError(f"unknown kernel {kernel!r}")
+        self.kernel = "stagger" if kernel == "auto" else kernel
+        if traceback not in ("host", "device"):
+            raise ValueError(f"unknown traceback mode {traceback!r}")
+        if traceback == "device" and (
+            self.kernel != "stagger" or algorithm is Algorithm.BSW
+        ):
+            raise ValueError(
+                "traceback='device' requires the stagger kernel "
+                "(LNW/LSW/ANW)"
+            )
+        self.traceback_mode = traceback
 
     def _oracle_fallback(self, ds: PairDataset, i: int) -> AlignmentResult:
         ref, qry = ds.pair(i)
@@ -102,13 +129,17 @@ class AlignmentEngine:
 
     def _dispatch(self, b: Bucket):
         """Dispatch one bucket's fill.  BSW takes the skewed banded
-        fast-path kernel (O(M*2band) work instead of O(M*N))."""
+        fast-path kernel (O(M*2band) work instead of O(M*N)); the other
+        aligners take the stagger wavefront kernel unless kernel="rowscan"
+        was requested."""
         if self.algorithm is Algorithm.BSW:
             return fill_banded_bucket_async(
                 self.params, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len,
                 with_traceback=self.with_traceback, interpret=self.interpret,
             )
-        return fill_bucket_async(
+        fill_async = (fill_stagger_bucket_async if self.kernel == "stagger"
+                      else fill_bucket_async)
+        return fill_async(
             self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
             b.ref_len, b.qry_len,
             with_traceback=self.with_traceback, interpret=self.interpret,
@@ -227,13 +258,41 @@ class AlignmentEngine:
         _top_up()
         while launches:
             b, (scores, srow, scol, dirs) = launches.pop(0)
+            if (self.traceback_mode == "device" and self.with_traceback
+                    and dirs is not None):
+                # V8-style: dirs never leave the device; the walk runs
+                # there and only packed 2-bit move streams transfer
+                from tpu_align.traceback.device import (
+                    device_traceback_bucket,
+                )
+
+                with timer.phase("kernel"):
+                    np.asarray(scores)  # block on this bucket's fill
+                with timer.phase("backtrack"):
+                    bucket_results = device_traceback_bucket(
+                        self.algorithm, b, scores, srow, scol, dirs,
+                        self.params, STRIPE_S,
+                    )
+                results.extend(bucket_results)
+                if checkpoint_dir:
+                    with timer.phase("printing"):
+                        self._save_checkpoint(
+                            os.path.join(
+                                checkpoint_dir, self._bucket_key(b) + ".json"
+                            ),
+                            bucket_results,
+                        )
+                _top_up()
+                continue
             with timer.phase("kernel"):
                 # blocks only on this bucket; later kernels keep running
+                is_bsw = self.algorithm is Algorithm.BSW
                 fill = BucketFill(
                     np.asarray(scores), np.asarray(srow), np.asarray(scol),
                     np.asarray(dirs) if dirs is not None else None,
-                    band=(self.params.band
-                          if self.algorithm is Algorithm.BSW else None),
+                    band=(self.params.band if is_bsw else None),
+                    stagger=(STRIPE_S if (self.kernel == "stagger"
+                                          and not is_bsw) else None),
                 )
             with timer.phase("backtrack"):
                 if self.with_traceback:

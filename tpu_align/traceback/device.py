@@ -1,0 +1,337 @@
+"""Device-side traceback: the reference's V8 move, TPU-native.
+
+The reference's decisive end-state optimization moved backtracking onto the
+GPU (cuda/LNW/LinearNeedlemanWunschV8.cu; V19.cu:26-110 `backtracking()`),
+so only scores + alignment strings cross the device boundary instead of the
+full direction matrices.  This module does the same on TPU: a jitted,
+lane-vectorized walk over the packed stagger-layout direction words that
+emits 2-bit MOVE codes, so only O(pairs x path-length / 16) words leave the
+device -- ~128x less transfer than the direction tensor.
+
+A naive per-pair pointer chase would serialize on the TPU scalar core and
+per-lane random access (gather) does not exist on the VPU.  The walk is
+instead synchronized by DP row ("row phases"):
+
+* Every backward path visits rows in strictly decreasing order, spending a
+  run of insertions inside a row and exactly one diagonal/deletion move to
+  leave it.  So all lanes can process the SAME absolute row m per phase --
+  idle until their path reaches m, finished lanes masked out.
+* The stagger dirs tensor (stripes, W, S, B) transposes to (M, W, B) where
+  the first axis is just the DP row i-1 -- one jnp dynamic slice with the
+  SHARED scalar row index loads every lane's word row per phase.  No
+  per-lane row gather ever happens.
+* Within a row, a lane's word index w = k // spw (k = (j-1) + (i-1)%S)
+  varies per lane, resolved with a one-hot reduction over the W (~18) words
+  -- the only cross-lane-divergent access, and it is tiny.
+* Move costs for the local re-scoring stop come from the CODES themselves
+  (MAIN_DIAG_MATCH vs MAIN_DIAG_MISMATCH carry the match/mismatch
+  distinction), so no per-lane sequence-character access is needed either.
+
+Emitted stream: a dense (T, B) array of 2-bit codes packed 16/word, where
+row t is one global walk step: 0 = no-op (lane idle/done), 1 = diagonal,
+2 = query deletion, 3 = query insertion.  A lane's alignment is its
+non-zero codes read in order (root-to...-end-to-start; the host reverses).
+The host turns moves + raw sequences into the three output lines --
+byte-identical to the dirs-walk by construction (same codes, same order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_align.core import directions as D
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.core.result import AlignmentResult
+from tpu_align.kernels.fill import bits_per_cell
+
+
+@functools.partial(jax.jit, static_argnames=("algorithm", "params",
+                                             "stripe_s"))
+def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
+                 stripe_s):
+    """Vectorized backward walk.  Returns (moves (T16, B) int32 packed
+    16 codes/word, total_steps (scalar)).
+
+    dirs: (stripes, W, S, B) stagger words (device array).
+    """
+    S = stripe_s
+    bits = bits_per_cell(algorithm)
+    spw = 32 // bits
+    stripes, W, _, B = dirs.shape
+    M = stripes * S
+    is_local = algorithm.is_local
+    is_affine = algorithm.is_affine
+    p = params
+
+    # (stripes, W, S, B) -> (M, W, B): axis 0 is DP row i-1
+    rows_tensor = jnp.transpose(dirs, (0, 2, 1, 3)).reshape(M, W, B)
+
+    i0 = start_row.astype(jnp.int32).reshape(B)
+    j0 = start_col.astype(jnp.int32).reshape(B)
+    rem0 = scores.astype(jnp.int32).reshape(B)
+
+    t_max = int(M + rows_tensor.shape[1] * spw + 4)  # M + N(+pad) + slack
+    t_max = -(-t_max // 16) * 16  # whole packed words
+    out = jnp.zeros((t_max, B), jnp.int32)  # one code per global step
+    w_iota = jnp.arange(W, dtype=jnp.int32)[:, None]  # (W, 1)
+
+    # walker state codes for affine (c++/backtrack.cpp:214-356)
+    SCORING, INSERTION, DELETION = 0, 1, 2
+
+    def extract(row_words, i_scalar, j):
+        """Per-lane 2/4-bit code of cell (i, j) from the row's words."""
+        r = (i_scalar - 1) % S
+        k = (j - 1) + r  # (B,)
+        w = k // spw
+        word = jnp.sum(
+            jnp.where(w_iota == w[None, :], row_words, 0), axis=0
+        )  # (B,) one-hot over the W words
+        return (word >> (bits * (k % spw))) & ((1 << bits) - 1)
+
+    def body(state):
+        m, t, j, i, rem, anw_state, done, out = state
+        row_words = jax.lax.dynamic_slice(
+            rows_tensor, (m - 1, 0, 0), (1, W, B)
+        )[0]
+        code = extract(row_words, m, j)
+        main = code & 3
+
+        in_row = jnp.logical_and(i == m, ~done)
+        act = jnp.logical_and(in_row, j > 0)
+        # border column: j == 0 with rows left -> forced deletion
+        forced_del = jnp.logical_and(in_row, j == 0)
+
+        if is_affine:
+            # three-state Gotoh walk; E/F extend bits end or continue runs
+            ins_now = jnp.logical_or(
+                anw_state == INSERTION,
+                jnp.logical_and(anw_state == SCORING,
+                                main == D.MAIN_QUERY_INSERTION),
+            )
+            del_now = jnp.logical_or(
+                anw_state == DELETION,
+                jnp.logical_and(
+                    anw_state == SCORING,
+                    jnp.logical_and(main == D.MAIN_QUERY_DELETION,
+                                    ~ins_now),
+                ),
+            )
+            ins_now = jnp.logical_and(ins_now, act)
+            del_now = jnp.logical_and(del_now, act)
+            diag_now = jnp.logical_and(
+                act, jnp.logical_and(~ins_now, ~del_now)
+            )
+            # run continuation: extend bit set -> stay in the run
+            ins_next = jnp.logical_and(ins_now,
+                                       (code & D.BIT_E_EXTEND) != 0)
+            del_next = jnp.logical_and(del_now,
+                                       (code & D.BIT_F_EXTEND) != 0)
+            new_state = jnp.where(
+                ins_next, INSERTION, jnp.where(del_next, DELETION, SCORING)
+            )
+            anw_state = jnp.where(act, new_state, anw_state)
+        else:
+            ins_now = jnp.logical_and(act, main == D.MAIN_QUERY_INSERTION)
+            diag_now = jnp.logical_and(
+                act,
+                jnp.logical_or(main == D.MAIN_DIAG_MATCH,
+                               main == D.MAIN_DIAG_MISMATCH),
+            )
+            del_now = jnp.logical_and(act, main == D.MAIN_QUERY_DELETION)
+
+        del_now = jnp.logical_or(del_now, forced_del)
+        emit = jnp.where(
+            ins_now, 3, jnp.where(del_now, 2, jnp.where(diag_now, 1, 0))
+        )
+        if is_local:
+            cost = jnp.where(
+                diag_now,
+                jnp.where(main == D.MAIN_DIAG_MATCH, p.match, p.mismatch),
+                jnp.where(emit > 0, p.gap, 0),
+            )
+            rem = rem - cost
+        out = jax.lax.dynamic_update_slice(out, emit[None, :], (t, 0))
+        j = j - jnp.where(jnp.logical_or(ins_now, diag_now), 1, 0)
+        i = i - jnp.where(jnp.logical_or(del_now, diag_now), 1, 0)
+        if is_local:
+            done = jnp.logical_or(
+                done,
+                jnp.logical_and(emit > 0, rem <= 0),
+            )
+            done = jnp.logical_or(
+                done, jnp.logical_and(i == m, emit == 0)
+            )  # never-started lanes (score <= 0)
+        # lanes still inside row m (insertion run continues)?
+        more_this_row = jnp.logical_and(
+            jnp.logical_and(i == m, ~done), True
+        )
+        any_more = jnp.any(more_this_row)
+        m = jnp.where(any_more, m, m - 1)
+        return m, t + 1, j, i, rem, anw_state, done, out
+
+    def cond(state):
+        m, t, j, i, rem, anw_state, done, out = state
+        return jnp.logical_and(m >= 1, t < t_max - 1)
+
+    if is_local:
+        done0 = rem0 <= 0
+    else:
+        done0 = jnp.zeros(B, bool)
+    state = (jnp.int32(M), jnp.int32(0), j0, i0, rem0,
+             jnp.zeros(B, jnp.int32), done0, out)
+    m, t, j, i, rem, anw_state, done, out = jax.lax.while_loop(
+        cond, body, state
+    )
+
+    # border flush: i == 0 with columns left -> insertions (global only)
+    def flush_cond(state):
+        t, j, out = state
+        return jnp.logical_and(jnp.any(j > 0), t < t_max - 1)
+
+    def flush_body(state):
+        t, j, out = state
+        emit = jnp.where(j > 0, 3, 0)
+        out = jax.lax.dynamic_update_slice(out, emit[None, :], (t, 0))
+        return t + 1, j - (j > 0), out
+
+    if not is_local:
+        t, j, out = jax.lax.while_loop(flush_cond, flush_body, (t, j, out))
+
+    # pack 16 codes per int32 word: word w holds steps 16w..16w+15
+    t16 = -(-t_max // 16)
+    shifts = (2 * (jnp.arange(t_max) % 16)).astype(jnp.int32)
+    padded = out << shifts[:, None]
+    packed = jnp.sum(
+        padded.reshape(t16, 16, B), axis=1, dtype=jnp.int32
+    )  # OR == sum: disjoint bit ranges
+    return packed, t
+
+
+def device_traceback_moves(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    dirs,
+    start_row, start_col, scores,
+    stripe_s: int,
+):
+    """Run the device walk; returns (packed_moves (T16, B) np.int32,
+    steps int).  Only the packed moves cross the host boundary."""
+    packed, t = _device_walk(
+        algorithm, params, jnp.asarray(dirs),
+        jnp.asarray(start_row), jnp.asarray(start_col), jnp.asarray(scores),
+        stripe_s,
+    )
+    return np.asarray(packed), int(t)
+
+
+def moves_to_result(
+    algorithm: Algorithm,
+    pair_num: int,
+    score: int,
+    moves,  # (T,) uint8 codes 0..3, global-step order (backward walk)
+    ref: str,
+    qry: str,
+    start_row: int,
+    start_col: int,
+) -> AlignmentResult:
+    """Replay one lane's move stream into the three output lines.
+
+    The stream is in walk order (end -> start); emission mirrors the dirs
+    walkers (tpu_align/traceback/host.py) so output is byte-identical."""
+    if algorithm.is_local and score <= 0:
+        return AlignmentResult(pair_num, score)
+    i, j = start_row, start_col
+    out_r, out_m, out_q = [], [], []
+    for mv in moves:
+        if mv == 0:
+            continue
+        if mv == 1:  # diagonal
+            rc, qc = ref[j - 1], qry[i - 1]
+            out_r.append(rc)
+            out_m.append(D.REL_MATCH if rc == qc else D.REL_MISMATCH)
+            out_q.append(qc)
+            i -= 1
+            j -= 1
+        elif mv == 2:  # query deletion
+            out_r.append(D.GAP_CHAR)
+            out_m.append(D.REL_GAP)
+            out_q.append(qry[i - 1])
+            i -= 1
+        else:  # query insertion
+            out_r.append(ref[j - 1])
+            out_m.append(D.REL_GAP)
+            out_q.append(D.GAP_CHAR)
+            j -= 1
+    return AlignmentResult(
+        pair_num, score,
+        "".join(reversed(out_r)),
+        "".join(reversed(out_m)),
+        "".join(reversed(out_q)),
+    )
+
+
+def device_traceback_bucket(
+    algorithm: Algorithm,
+    bucket,
+    scores, srow, scol, dirs,
+    params: AlignmentParams,
+    stripe_s: int,
+) -> list:
+    """Full V8-style bucket traceback: device walk + host replay.
+
+    `dirs` stays a device array -- only scores/starts and the packed move
+    stream are ever transferred.  String assembly uses the threaded native
+    replayer (native/tpualign.cpp ta_replay_moves) when available."""
+    packed, steps = device_traceback_moves(
+        algorithm, params, dirs, srow, scol, scores, stripe_s
+    )
+    sc = np.asarray(scores)
+    sr = np.asarray(srow)
+    sj = np.asarray(scol)
+    nb = bucket.num_real
+    from tpu_align.native import native_replay_moves
+
+    nat = native_replay_moves(
+        packed, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
+        sr[:nb], sj[:nb], sc[:nb], local=algorithm.is_local,
+    )
+    if nat is not None:
+        out_buf, out_lens = nat
+        return [
+            AlignmentResult(
+                int(bucket.pair_ids[row]), int(sc[row]),
+                out_buf[row, 0, :out_lens[row]].tobytes().decode("ascii"),
+                out_buf[row, 1, :out_lens[row]].tobytes().decode("ascii"),
+                out_buf[row, 2, :out_lens[row]].tobytes().decode("ascii"),
+            )
+            for row in range(nb)
+        ]
+    codes = unpack_moves(packed, steps)
+    results = []
+    for row in range(bucket.num_real):
+        pair_num = int(bucket.pair_ids[row])
+        rlen = int(bucket.ref_len[row])
+        qlen = int(bucket.qry_len[row])
+        ref = bucket.ref_tokens[row, :rlen].tobytes().decode("ascii")
+        qry = bucket.qry_tokens[row, :qlen].tobytes().decode("ascii")
+        results.append(
+            moves_to_result(
+                algorithm, pair_num, int(sc[row]), codes[:, row], ref, qry,
+                int(sr[row]), int(sj[row]),
+            )
+        )
+    return results
+
+
+def unpack_moves(packed: np.ndarray, steps: int) -> np.ndarray:
+    """(T16, B) packed words -> (steps, B) uint8 codes."""
+    t16, b = packed.shape
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :, None]
+    codes = (
+        (packed.astype(np.uint32)[:, None, :] >> shifts) & 3
+    ).reshape(t16 * 16, b)
+    return codes[:steps].astype(np.uint8)

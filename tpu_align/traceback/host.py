@@ -70,6 +70,43 @@ def unpack_pair_dirs(
     return main_dirs, e_dirs, f_dirs
 
 
+def unpack_stagger_pair_dirs(
+    words: np.ndarray, qlen: int, rlen: int, algorithm: Algorithm, s_rows: int
+):
+    """Decode one pair's stagger-layout words (stripes, W, S) into
+    oracle-style direction matrices.
+
+    Stagger packing (tpu_align/kernels/stagger.py): cell (i, j), 1-based,
+    lives in stripe (i-1)//S, sublane r = (i-1)%S, step k = (j-1) + r,
+    word k // (32//bits) at bits [bits*(k%spw) ..].
+    """
+    bits = bits_per_cell(algorithm)
+    spw = 32 // bits
+    si = np.arange(qlen) // s_rows  # (qlen,) stripe per row
+    ri = np.arange(qlen) % s_rows   # (qlen,) sublane per row
+    k = ri[:, None] + np.arange(rlen)[None, :]  # (qlen, rlen) step index
+    w = k // spw
+    rw = words.astype(np.uint32)[si[:, None], w, ri[:, None]]
+    codes = (rw >> (bits * (k % spw)).astype(np.uint32)) & np.uint32(
+        (1 << bits) - 1
+    )
+    main = _MAIN_LUT[codes & 3]
+    e_dirs = f_dirs = None
+    if algorithm.is_affine:
+        e_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
+        f_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
+        e_dirs[1:, 1:] = np.where(codes & D.BIT_E_EXTEND, D.GAP_EXTEND,
+                                  D.GAP_OPEN)
+        f_dirs[1:, 1:] = np.where(codes & D.BIT_F_EXTEND, D.GAP_EXTEND,
+                                  D.GAP_OPEN)
+    main_dirs = np.zeros((qlen + 1, rlen + 1), np.uint8)
+    main_dirs[1:, 1:] = main
+    if not algorithm.is_local:
+        main_dirs[1:, 0] = D.QUERY_DELETION
+        main_dirs[0, 1:] = D.QUERY_INSERTION
+    return main_dirs, e_dirs, f_dirs
+
+
 def unpack_banded_pair_dirs(
     words: np.ndarray, qlen: int, rlen: int, band: int
 ):
@@ -163,6 +200,10 @@ def traceback_bucket(
             main, e_dirs, f_dirs = unpack_banded_pair_dirs(
                 fill.dirs[:, row, :], qlen, rlen, fill.band
             )
+        elif fill.stagger is not None:
+            main, e_dirs, f_dirs = unpack_stagger_pair_dirs(
+                fill.dirs[:, :, :, row], qlen, rlen, algorithm, fill.stagger
+            )
         else:
             main, e_dirs, f_dirs = unpack_pair_dirs(
                 fill.dirs[:, row, :], qlen, rlen, algorithm
@@ -195,6 +236,7 @@ def _native_traceback(
         bucket.ref_len[:nb], bucket.qry_len[:nb],
         fill.start_row[:nb], fill.start_col[:nb], fill.scores[:nb],
         skew_band=fill.band or 0,
+        stagger=fill.stagger or 0,
         bits=bits_per_cell(algorithm),
         match=params.match, mismatch=params.mismatch, gap=params.gap,
     )
