@@ -242,3 +242,20 @@ def test_stagger_local_start_cell_semantics(rng):
             got = (int(fill.scores[row]), int(fill.start_row[row]),
                    int(fill.start_col[row]))
             assert got == want, f"pair {i}: {got} != {want}"
+
+
+@pytest.mark.slow
+def test_long_sequences_2k():
+    """2k x 2k fill correctness: exercises the multi-word query grid and
+    the raised VMEM budget (kernels/fill.py CompilerParams).  Interpret
+    mode; the stagger 2k hardware row lives in PERF.md."""
+    rng2 = np.random.default_rng(77)
+    ref = "".join("ATCG"[i] for i in rng2.integers(0, 4, 2048))
+    qry = "".join("ATCG"[i] for i in rng2.integers(0, 4, 2048))
+    ds = PairDataset.from_pairs([(ref, qry)])
+    [b] = bucketize(ds, BucketSpec(batch_pairs=8, query_multiple=2048))
+    fill = fill_bucket(Algorithm.LNW, PARAMS, b.ref_tokens, b.qry_tokens,
+                       b.ref_len, b.qry_len, with_traceback=False)
+    from tpu_align.oracle.vectorized import fill_vectorized
+    want = fill_vectorized(Algorithm.LNW, PARAMS, ref, qry).global_score
+    assert int(fill.scores[0]) == want

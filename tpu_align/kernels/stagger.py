@@ -90,6 +90,8 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
     bits = bits_per_cell(algo)
     spw = 32 // bits  # steps per direction word
     num_words = k16 // spw
+    PAD = S + spw  # row-buffer slack below column 0 (block stores at the
+    #                stripe edges land here instead of needing predication)
     # plain Python ints: they fold into the trace as immediates (a jnp
     # constant created here would be captured as a kernel const, which
     # pallas_call rejects)
@@ -121,10 +123,10 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
 
         @pl.when(stripe == 0)
         def _init():
-            # DP border row H[0][j] (indexed by column j on the sublane axis)
+            # DP border row H[0][j] (column j lives at sublane j + PAD)
             cols = jax.lax.broadcasted_iota(
                 jnp.int32, (rowbuf_h.shape[0], tile_p), 0
-            )
+            ) - PAD
             if is_local:
                 rowbuf_h[:, :] = jnp.zeros_like(cols)
             elif is_affine:
@@ -151,21 +153,29 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             border_diag = (i_slab - 1) * gap
         neg_slab = jnp.full(shape, NEG, jnp.int32)
         qmask = i_slab <= qlen  # row within the true query
+        qmask_eq = i_slab == qlen  # the final-row sublane (global capture)
 
-        def step(k, carry):
-            """One anti-diagonal step: sublane r computes column j = k-r+1."""
+        def step(k, carry, inject):
+            """One anti-diagonal step: sublane r computes column j = k-r+1.
+
+            `inject` (compile-time) enables the j==1 border injections;
+            they can only fire while k < S, so the bulk of the sweep runs
+            a shorter dependency chain without them."""
             if is_affine:
                 (s1, s2, s1f, s1e, rbk, rbkf, acc,
-                 rowmax, rowcol) = carry
+                 rowmax, rowcol, bot, botf) = carry
             else:
-                s1, s2, rbk, acc, rowmax, rowcol = carry
-                s1f = s1e = rbkf = None
-            inj = io == k  # sublane starting its row this step (j == 1)
+                s1, s2, rbk, acc, rowmax, rowcol, bot = carry
+                s1f = s1e = rbkf = botf = None
             # neighbour loads from the previous stripe's bottom row
-            rbk1 = rowbuf_h[pl.ds(k + 1, 1), :]
+            rbk1 = rowbuf_h[pl.ds(k + 1 + PAD, 1), :]
             up = _shift1(s1, rbk1)
-            diag = jnp.where(inj, border_diag, _shift1(s2, rbk))
-            left = jnp.where(inj, border_left, s1)
+            diag = _shift1(s2, rbk)
+            left = s1
+            if inject:
+                inj = io == k  # sublane starting its row this step (j == 1)
+                diag = jnp.where(inj, border_diag, diag)
+                left = jnp.where(inj, border_left, left)
             # substitution: ref[k - r] via the sliding reversed window
             start = jnp.maximum(S + n_cols - 1 - k, 0)
             refslab = revref_ref[pl.ds(start, S), :].astype(jnp.int32)
@@ -173,14 +183,14 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             w = jnp.where(is_match, match_w, mismatch_w)
             mm = diag + w
             if is_affine:
-                rbk1f = rowbuf_f[pl.ds(k + 1, 1), :]
+                rbk1f = rowbuf_f[pl.ds(k + 1 + PAD, 1), :]
                 upf = _shift1(s1f, rbk1f)
                 # F: open vs extend, __vibmax open >= extend -> GAP_OPEN
                 f_open = up + goe
                 f_ext = upf + ge
                 f_row, f_open_wins = dpx.vibmax_s32(f_open, f_ext)
                 # E: left-dependency, same-sublane previous step
-                e_prev = jnp.where(inj, neg_slab, s1e)
+                e_prev = jnp.where(io == k, neg_slab, s1e) if inject else s1e
                 e_open = left + goe
                 e_ext = e_prev + ge
                 e_row, e_open_wins = dpx.vibmax_s32(e_open, e_ext)
@@ -233,73 +243,81 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 rowmax = jnp.where(upd, cand, rowmax)
                 rowcol = jnp.where(upd, jcol, rowcol)
             else:
-                # capture H[qlen][rlen] the moment it is computed
-                sel = jnp.logical_and(jcol == rlen,
-                                      jnp.logical_and(i_slab == qlen, io <= k))
-                cap = jnp.max(jnp.where(sel, h, NEG), axis=0, keepdims=True)
-                rowmax = jnp.maximum(rowmax, cap)
+                # capture H[qlen][rlen] into the slab (at most one sublane
+                # per lane per stripe matches); reduced once per stripe
+                sel = jnp.logical_and(jcol == rlen, qmask_eq)
+                rowmax = jnp.where(sel, h, rowmax)
 
-            # stream the stripe's bottom row into the hand-off buffer
-            jb = k - (S - 1) + 1  # column finished by sublane S-1 this step
-            # the store index must be clamped nonnegative even though the
-            # store is predicated off for jb < 1: Mosaic faults on a
-            # negative dynamic sublane store address (TPU worker crash,
-            # found empirically by bisection)
-            jbs = jnp.maximum(jb, 0)
-
-            @pl.when(jnp.logical_and(jb >= 1, jb <= n_cols))
-            def _store_bottom():
-                rowbuf_h[pl.ds(jbs, 1), :] = h[S - 1:S, :]
-                if is_affine:
-                    rowbuf_f[pl.ds(jbs, 1), :] = f_row[S - 1:S, :]
-
+            # collect the stripe's bottom row; flushed to the hand-off
+            # buffer once per word (sub is compile-time -> constant mask)
+            bot = jnp.where(iota_spw == (k % spw), h[S - 1:S, :], bot)
             if is_affine:
+                botf = jnp.where(iota_spw == (k % spw), f_row[S - 1:S, :],
+                                 botf)
                 return (h, s1, f_row, e_row, rbk1, rbk1f, acc,
-                        rowmax, rowcol)
-            return h, s1, rbk1, acc, rowmax, rowcol
+                        rowmax, rowcol, bot, botf)
+            return h, s1, rbk1, acc, rowmax, rowcol, bot
 
-        def word_step(wi, carry):
+        iota_spw = _iota_s((spw, tile_p))
+
+        def word_step(wi, carry, inject):
             # one direction word's worth of steps, fully unrolled (the
             # fori_loop body is traced once; Mosaic software-pipelines the
-            # serial step chain across the unrolled body)
+            # serial step chain across the unrolled body).  The bottom-row
+            # hand-off is a single spw-row block store per word: column
+            # wi*spw - S + 2 + sub lands at slack-padded buffer offset
+            # PAD + that (always >= 0; edge junk falls in the slack and is
+            # never read -- reads stop at column N).
             slabs, word_carry = carry
             acc = jnp.zeros(shape, jnp.int32)
+            bot = jnp.zeros((spw, tile_p), jnp.int32)
             if is_affine:
-                s1, s2, s1f, s1e, rbk, rbkf = slabs
-                st = (s1, s2, s1f, s1e, rbk, rbkf, acc) + word_carry
+                botf = jnp.zeros((spw, tile_p), jnp.int32)
+                st = slabs[:6] + (acc,) + word_carry + (bot, botf)
             else:
-                s1, s2, rbk = slabs
-                st = (s1, s2, rbk, acc) + word_carry
+                st = slabs[:3] + (acc,) + word_carry + (bot,)
             for sub in range(spw):
-                st = step(wi * spw + sub, st)
+                st = step(wi * spw + sub, st, inject)
             if is_affine:
                 slabs = st[:6]
                 acc = st[6]
-                word_carry = st[7:]
+                word_carry = st[7:9]
+                bot, botf = st[9], st[10]
             else:
                 slabs = st[:3]
                 acc = st[3]
-                word_carry = st[4:]
+                word_carry = st[4:6]
+                bot = st[6]
+            store_at = wi * spw - (S - 1) + 1 + PAD
+            rowbuf_h[pl.ds(store_at, spw), :] = bot
+            if is_affine:
+                rowbuf_f[pl.ds(store_at, spw), :] = botf
             if with_traceback:
                 dirs_ref[0, wi, :, :] = acc
             return slabs, word_carry
 
         junk = jnp.zeros(shape, jnp.int32)
-        rb0 = rowbuf_h[pl.ds(0, 1), :]
+        rb0 = rowbuf_h[pl.ds(PAD, 1), :]
         if is_affine:
             slabs = (junk, junk, neg_slab, neg_slab, rb0,
-                     rowbuf_f[pl.ds(0, 1), :])
+                     rowbuf_f[pl.ds(PAD, 1), :])
         else:
             slabs = (junk, junk, rb0)
-        if is_local:
-            word_carry = (jnp.full(shape, NEG, jnp.int32),
-                          jnp.zeros(shape, jnp.int32))
-        else:
-            word_carry = (jnp.full((1, tile_p), NEG, jnp.int32),
-                          jnp.zeros(shape, jnp.int32))  # rowcol unused
-        slabs, word_carry = jax.lax.fori_loop(
-            0, num_words, word_step, (slabs, word_carry)
-        )
+        word_carry = (jnp.full(shape, NEG, jnp.int32),
+                      jnp.zeros(shape, jnp.int32))  # rowcol unused for global
+        # border injections can only fire during the first S steps: unroll
+        # those words statically with the inject selects, run the bulk
+        # without them
+        inj_words = -(-S // spw)
+        carry = (slabs, word_carry)
+        for wi in range(min(inj_words, num_words)):
+            carry = word_step(wi, carry, True)
+        if num_words > inj_words:
+            carry = jax.lax.fori_loop(
+                inj_words, num_words,
+                lambda wi, c: word_step(wi, c, False), carry,
+            )
+        slabs, word_carry = carry
         rowmax, rowcol = word_carry
 
         if is_local:
@@ -320,7 +338,9 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             brow_s[:, :] = jnp.where(upd, i0 + r_best + 1, brow_s[:, :])
             bcol_s[:, :] = jnp.where(upd, c_best, bcol_s[:, :])
         else:
-            best_s[:, :] = jnp.maximum(best_s[:, :], rowmax)
+            best_s[:, :] = jnp.maximum(
+                best_s[:, :], jnp.max(rowmax, axis=0, keepdims=True)
+            )
             brow_s[:, :] = qlen
             bcol_s[:, :] = rlen
 
@@ -407,7 +427,7 @@ def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
         pl.BlockSpec((1, tile_p), lambda i, s: (0, i),
                      memory_space=pltpu.VMEM),
     ]
-    rb = _round8(n + 2 * S + spw + 2)
+    rb = _round8(k16 + S + spw + 8)  # k16 reads + PAD slack + margin
     scratch_shapes = [pltpu.VMEM((rb, tile_p), jnp.int32)]  # H hand-off row
     if algorithm.is_affine:
         scratch_shapes.append(pltpu.VMEM((rb, tile_p), jnp.int32))  # F row
