@@ -133,17 +133,20 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
         "kernel_ms": round(best * 1e3, 1),
         "pairs_per_sec": round(num_pairs / best),
         "num_pairs": num_pairs,
+        "seq_len": seq_len,
         "cells": ds.num_cells,
         "traceback": with_traceback,
+        "kernel": kernel,
         "backend": jax.default_backend(),
     }
 
 
 def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
-                     algorithm="lnw", verbose=True):
+                     algorithm="lnw", verbose=True, traceback_mode="host"):
     """End-to-end engine run (fill + traceback + formatting) with the V19
     phase breakdown; emits a record consumable by
-    tpu_align.utils.timing_analysis."""
+    tpu_align.utils.timing_analysis.  traceback_mode='device' exercises
+    the V8-style on-accelerator walk (only move streams transfer)."""
     from tpu_align.core.params import Algorithm
     from tpu_align.io.bucketing import BucketSpec
     from tpu_align.runtime.engine import AlignmentEngine
@@ -155,7 +158,9 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
     ds = synthetic_dataset(num_pairs, uniform_len=seq_len, seed=42)
     engine = AlignmentEngine(
-        algo, bucket_spec=BucketSpec(batch_pairs=batch_pairs, pair_multiple=128)
+        algo,
+        bucket_spec=BucketSpec(batch_pairs=batch_pairs, pair_multiple=128),
+        traceback=traceback_mode,
     )
     engine.warmup(ds)
     t0 = time.perf_counter()
@@ -169,7 +174,8 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         "value": round(num_pairs / total),
         "unit": "pairs/sec",
         "vs_baseline": round((num_pairs / total) / (100_000 / 0.4406), 3),
-        "label": f"{algo.value}-e2e",
+        "label": f"{algo.value}-e2e-{traceback_mode}",
+        "traceback_mode": traceback_mode,
         "phases": {k: round(v, 6) for k, v in out.timer.seconds.items()},
         "total_s": round(total, 4),
         "gcups_kernel_phase": round(out.gcups, 2),
@@ -195,6 +201,10 @@ def main():
     ap.add_argument("--engine", action="store_true",
                     help="end-to-end engine bench with phase breakdown "
                          "(vs_baseline: reference V12 total 440.6 ms / 100k)")
+    ap.add_argument("--traceback", default="host",
+                    choices=["host", "device"],
+                    help="engine bench traceback mode (device = V8-style "
+                         "on-accelerator walk)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one sweep to DIR")
@@ -203,7 +213,7 @@ def main():
         result = run_engine_bench(
             num_pairs=args.pairs, seq_len=args.seq_len,
             batch_pairs=args.batch, algorithm=args.algorithm,
-            verbose=not args.quiet,
+            verbose=not args.quiet, traceback_mode=args.traceback,
         )
     else:
         result = run_bench(

@@ -29,7 +29,8 @@ def test_fill_sharded_matches_oracle():
             bucket.ref_tokens, bucket.qry_tokens, bucket.ref_len, bucket.qry_len,
         )
         s = np.asarray(scores)
-        assert dirs.shape[1] == bucket.batch
+        # stagger layout: (stripes, W, S, B) with batch on the last axis
+        assert dirs.shape[-1] == bucket.batch
         for row in range(bucket.num_real):
             i = int(bucket.pair_ids[row])
             want = align_pair(Algorithm.LNW, params, *ds.pair(i), engine="scalar")

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.io.bucketing import BucketSpec
 from tpu_align.kernels.fill import _fill_jit
+from tpu_align.kernels.stagger import _fill_stagger_jit
 
 PAIRS_AXIS = "pairs"
 
@@ -67,12 +68,14 @@ def fill_sharded(
     qry_len,
     with_traceback: bool = True,
     interpret: bool | None = None,
+    kernel: str = "stagger",
 ):
     """Run the fill kernel data-parallel over the mesh's `pairs` axis.
 
     Inputs are host-global (B, ...) arrays with B divisible by
     8 * mesh size; outputs are global arrays sharded on the batch axis.
     Returns (scores, start_row, start_col, dirs-or-None) as JAX arrays.
+    kernel selects the fill formulation ("stagger" default, "rowscan").
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -80,11 +83,14 @@ def fill_sharded(
     n_dev = mesh.devices.size
     if b % (8 * n_dev):
         raise ValueError(f"batch {b} not divisible by 8*{n_dev} devices")
+    stagger = kernel == "stagger"
 
     out_specs = (P(PAIRS_AXIS), P(PAIRS_AXIS), P(PAIRS_AXIS))
     if with_traceback:
-        # direction words are word-major: (MW, B, N) -- batch on axis 1
-        out_specs += (P(None, PAIRS_AXIS, None),)
+        # direction words: stagger (stripes, W, S, B) -- batch on axis 3;
+        # rowscan word-major (MW, B, N) -- batch on axis 1
+        out_specs += ((P(None, None, None, PAIRS_AXIS),) if stagger
+                      else (P(None, PAIRS_AXIS, None),))
 
     @functools.partial(
         shard_map,
@@ -96,7 +102,8 @@ def fill_sharded(
     )
     def _local_fill(rt, qt, rl, ql):
         lb = rt.shape[0]
-        scores, srow, scol, dirs = _fill_jit(
+        fill = _fill_stagger_jit if stagger else _fill_jit
+        scores, srow, scol, dirs = fill(
             algorithm, params, rt, qt, rl, ql,
             with_traceback=with_traceback, interpret=interpret,
         )
@@ -104,7 +111,8 @@ def fill_sharded(
         # slice back so shard concatenation preserves global pair order
         scores, srow, scol = scores[:lb], srow[:lb], scol[:lb]
         if with_traceback:
-            return scores, srow, scol, dirs[:, :lb, :]
+            return (scores, srow, scol,
+                    dirs[..., :lb] if stagger else dirs[:, :lb, :])
         return scores, srow, scol
 
     outs = _local_fill(
