@@ -47,11 +47,16 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
 
     algo = Algorithm(algorithm)
     if kernel == "auto":
-        kernel = "rowscan" if algo.is_banded else "stagger"
+        kernel = "banded" if algo.is_banded else "stagger"
     if kernel == "stagger":
         fill_bucket_async = functools.partial(
             fill_stagger_bucket_async, stripe_s=stripe or STRIPE_S
         )
+    elif kernel == "banded":
+        from tpu_align.kernels.banded import fill_banded_bucket_async
+
+        def fill_bucket_async(algo_, params_, *a, **k):
+            return fill_banded_bucket_async(params_, *a, **k)
     params = AlignmentParams()
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
 
@@ -192,9 +197,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--algorithm", default="lnw")
     ap.add_argument("--kernel", default="auto",
-                    choices=["auto", "stagger", "rowscan"],
+                    choices=["auto", "stagger", "rowscan", "banded"],
                     help="fill kernel: stagger wavefront (default for "
-                         "lnw/lsw/anw) or row-scan")
+                         "lnw/lsw/anw), row-scan, or the skewed-band "
+                         "fast path (default for bsw)")
     ap.add_argument("--stripe", type=int, default=None,
                     help="stagger stripe width S (default STRIPE_S)")
     ap.add_argument("--scores-only", action="store_true")
