@@ -14,9 +14,22 @@ if os.environ.get("TPU_ALIGN_TEST_BACKEND", "cpu") == "cpu":
         + os.environ.get("XLA_FLAGS", "")
     )
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # silence the XLA:CPU AOT cache-loader machine-feature chatter (E-level
+    # logs about 'prefer-no-scatter' preference flags, benign on-host)
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # the suite's cost is almost entirely XLA:CPU compiles of the
+    # interpret-mode kernels (~5-10 s per distinct shape); the persistent
+    # cache makes each shape a one-time cost across pytest runs
+    from tpu_align.utils.cache import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.expanduser("~"), ".cache", "tpu_align",
+                     "xla-cpu-tests")
+    )
 
 import random
 

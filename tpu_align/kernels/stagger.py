@@ -100,6 +100,14 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
     gap = p.gap
     go, ge = p.gap_open, p.gap_extend
     goe = p.gap_open + p.gap_extend
+    # local argmax tracking: pack (score, column) into one int32 as
+    # enc = (h << SH) - jcol, so the per-step update is a single max
+    # (bigger h wins; equal h -> smaller column wins = first occurrence)
+    # instead of a cmp + three selects on a loop-carried register pair.
+    enc_sh = max((n_cols + 1).bit_length(), 1)
+    use_enc = is_local and (
+        max(match_w * n_cols, 1) < (1 << (31 - enc_sh))
+    )
 
     def kernel(revref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
         if with_traceback:
@@ -154,6 +162,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
         neg_slab = jnp.full(shape, NEG, jnp.int32)
         qmask = i_slab <= qlen  # row within the true query
         qmask_eq = i_slab == qlen  # the final-row sublane (global capture)
+        iom1 = io - 1
+        # global capture: cell (qlen, rlen) is computed by the qlen-row
+        # sublane at step k = rlen + r - 1; hoisting the target step turns
+        # the per-step capture into one compare + one select
+        ktarget = jnp.where(qmask_eq, rlen + io - 1, jnp.int32(NEG))
 
         def step(k, carry, inject):
             """One anti-diagonal step: sublane r computes column j = k-r+1.
@@ -231,8 +244,17 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                         d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
                     acc = acc | (d << (bits * (k % spw)))
 
-            jcol = k - io + 1  # DP column per sublane
-            if is_local:
+            jcol = k - iom1  # DP column per sublane
+            if use_enc:
+                # per-row running max over enc = (h << SH) - jcol; one
+                # carried max per step.  jcol >= 1 subsumes the io <= k
+                # fill-edge test; rows beyond qlen are discarded at the
+                # stripe merge (junk h never exceeds the true max: padded
+                # ref/qry tokens never match, so junk only decays).
+                valid = jnp.logical_and(jcol >= 1, jcol <= rlen)
+                enc = (h << enc_sh) - jcol
+                rowmax = jnp.maximum(rowmax, jnp.where(valid, enc, NEG))
+            elif is_local:
                 # per-row running max (strict > keeps the earliest column);
                 # merged across rows once per stripe below
                 valid = jnp.logical_and(
@@ -245,8 +267,7 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             else:
                 # capture H[qlen][rlen] into the slab (at most one sublane
                 # per lane per stripe matches); reduced once per stripe
-                sel = jnp.logical_and(jcol == rlen, qmask_eq)
-                rowmax = jnp.where(sel, h, rowmax)
+                rowmax = jnp.where(ktarget == k, h, rowmax)
 
             # collect the stripe's bottom row; flushed to the hand-off
             # buffer once per word (sub is compile-time -> constant mask)
@@ -321,6 +342,12 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
         rowmax, rowcol = word_carry
 
         if is_local:
+            if use_enc:
+                # decode enc -> (h, jcol) once per stripe: jcol in [1, n]
+                # implies floor(enc / 2^SH) = h - 1
+                dec_h = (rowmax >> enc_sh) + 1
+                rowcol = (dec_h << enc_sh) - rowmax
+                rowmax = dec_h
             # merge the stripe's per-row maxima into the global best with
             # row-major first-occurrence semantics
             # (cuda/LinearSmithWaterman.cu:300-311)
