@@ -49,6 +49,92 @@ from tpu_align.core.result import AlignmentResult
 from tpu_align.kernels.fill import bits_per_cell
 
 
+# walker state codes for affine (c++/backtrack.cpp:214-356)
+SCORING, INSERTION, DELETION = 0, 1, 2
+
+
+def decide_step(algorithm, params, code, m, i, j, rem, anw_state, done):
+    """One row-phase step of the backward walk: decide this lane's move and
+    advance its cursor state.  Pure jnp on broadcastable arrays (``m`` is
+    the shared scalar row), so the XLA while_loop walker below and the
+    Pallas walk kernel (traceback/walk_kernel.py) share ONE definition of
+    the move semantics -- byte-identical output by construction.
+
+    Returns (emit, i, j, rem, anw_state, done) where emit is the 2-bit
+    move code: 0 = no-op, 1 = diagonal, 2 = query deletion,
+    3 = query insertion."""
+    is_local = algorithm.is_local
+    is_affine = algorithm.is_affine
+    p = params
+    main = code & 3
+
+    in_row = jnp.logical_and(i == m, ~done)
+    act = jnp.logical_and(in_row, j > 0)
+    # border column: j == 0 with rows left -> forced deletion
+    forced_del = jnp.logical_and(in_row, j == 0)
+
+    if is_affine:
+        # three-state Gotoh walk; E/F extend bits end or continue runs
+        ins_now = jnp.logical_or(
+            anw_state == INSERTION,
+            jnp.logical_and(anw_state == SCORING,
+                            main == D.MAIN_QUERY_INSERTION),
+        )
+        del_now = jnp.logical_or(
+            anw_state == DELETION,
+            jnp.logical_and(
+                anw_state == SCORING,
+                jnp.logical_and(main == D.MAIN_QUERY_DELETION,
+                                ~ins_now),
+            ),
+        )
+        ins_now = jnp.logical_and(ins_now, act)
+        del_now = jnp.logical_and(del_now, act)
+        diag_now = jnp.logical_and(
+            act, jnp.logical_and(~ins_now, ~del_now)
+        )
+        # run continuation: extend bit set -> stay in the run
+        ins_next = jnp.logical_and(ins_now,
+                                   (code & D.BIT_E_EXTEND) != 0)
+        del_next = jnp.logical_and(del_now,
+                                   (code & D.BIT_F_EXTEND) != 0)
+        new_state = jnp.where(
+            ins_next, INSERTION, jnp.where(del_next, DELETION, SCORING)
+        )
+        anw_state = jnp.where(act, new_state, anw_state)
+    else:
+        ins_now = jnp.logical_and(act, main == D.MAIN_QUERY_INSERTION)
+        diag_now = jnp.logical_and(
+            act,
+            jnp.logical_or(main == D.MAIN_DIAG_MATCH,
+                           main == D.MAIN_DIAG_MISMATCH),
+        )
+        del_now = jnp.logical_and(act, main == D.MAIN_QUERY_DELETION)
+
+    del_now = jnp.logical_or(del_now, forced_del)
+    emit = jnp.where(
+        ins_now, 3, jnp.where(del_now, 2, jnp.where(diag_now, 1, 0))
+    )
+    if is_local:
+        cost = jnp.where(
+            diag_now,
+            jnp.where(main == D.MAIN_DIAG_MATCH, p.match, p.mismatch),
+            jnp.where(emit > 0, p.gap, 0),
+        )
+        rem = rem - cost
+    j = j - jnp.where(jnp.logical_or(ins_now, diag_now), 1, 0)
+    i = i - jnp.where(jnp.logical_or(del_now, diag_now), 1, 0)
+    if is_local:
+        done = jnp.logical_or(
+            done,
+            jnp.logical_and(emit > 0, rem <= 0),
+        )
+        done = jnp.logical_or(
+            done, jnp.logical_and(i == m, emit == 0)
+        )  # never-started lanes (score <= 0)
+    return emit, i, j, rem, anw_state, done
+
+
 @functools.partial(jax.jit, static_argnames=("algorithm", "params",
                                              "stripe_s"))
 def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
@@ -64,8 +150,6 @@ def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
     stripes, W, _, B = dirs.shape
     M = stripes * S
     is_local = algorithm.is_local
-    is_affine = algorithm.is_affine
-    p = params
 
     # (stripes, W, S, B) -> (M, W, B): axis 0 is DP row i-1
     rows_tensor = jnp.transpose(dirs, (0, 2, 1, 3)).reshape(M, W, B)
@@ -78,9 +162,6 @@ def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
     t_max = -(-t_max // 16) * 16  # whole packed words
     out = jnp.zeros((t_max, B), jnp.int32)  # one code per global step
     w_iota = jnp.arange(W, dtype=jnp.int32)[:, None]  # (W, 1)
-
-    # walker state codes for affine (c++/backtrack.cpp:214-356)
-    SCORING, INSERTION, DELETION = 0, 1, 2
 
     def extract(row_words, i_scalar, j):
         """Per-lane 2/4-bit code of cell (i, j) from the row's words."""
@@ -98,73 +179,10 @@ def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
             rows_tensor, (m - 1, 0, 0), (1, W, B)
         )[0]
         code = extract(row_words, m, j)
-        main = code & 3
-
-        in_row = jnp.logical_and(i == m, ~done)
-        act = jnp.logical_and(in_row, j > 0)
-        # border column: j == 0 with rows left -> forced deletion
-        forced_del = jnp.logical_and(in_row, j == 0)
-
-        if is_affine:
-            # three-state Gotoh walk; E/F extend bits end or continue runs
-            ins_now = jnp.logical_or(
-                anw_state == INSERTION,
-                jnp.logical_and(anw_state == SCORING,
-                                main == D.MAIN_QUERY_INSERTION),
-            )
-            del_now = jnp.logical_or(
-                anw_state == DELETION,
-                jnp.logical_and(
-                    anw_state == SCORING,
-                    jnp.logical_and(main == D.MAIN_QUERY_DELETION,
-                                    ~ins_now),
-                ),
-            )
-            ins_now = jnp.logical_and(ins_now, act)
-            del_now = jnp.logical_and(del_now, act)
-            diag_now = jnp.logical_and(
-                act, jnp.logical_and(~ins_now, ~del_now)
-            )
-            # run continuation: extend bit set -> stay in the run
-            ins_next = jnp.logical_and(ins_now,
-                                       (code & D.BIT_E_EXTEND) != 0)
-            del_next = jnp.logical_and(del_now,
-                                       (code & D.BIT_F_EXTEND) != 0)
-            new_state = jnp.where(
-                ins_next, INSERTION, jnp.where(del_next, DELETION, SCORING)
-            )
-            anw_state = jnp.where(act, new_state, anw_state)
-        else:
-            ins_now = jnp.logical_and(act, main == D.MAIN_QUERY_INSERTION)
-            diag_now = jnp.logical_and(
-                act,
-                jnp.logical_or(main == D.MAIN_DIAG_MATCH,
-                               main == D.MAIN_DIAG_MISMATCH),
-            )
-            del_now = jnp.logical_and(act, main == D.MAIN_QUERY_DELETION)
-
-        del_now = jnp.logical_or(del_now, forced_del)
-        emit = jnp.where(
-            ins_now, 3, jnp.where(del_now, 2, jnp.where(diag_now, 1, 0))
+        emit, i, j, rem, anw_state, done = decide_step(
+            algorithm, params, code, m, i, j, rem, anw_state, done
         )
-        if is_local:
-            cost = jnp.where(
-                diag_now,
-                jnp.where(main == D.MAIN_DIAG_MATCH, p.match, p.mismatch),
-                jnp.where(emit > 0, p.gap, 0),
-            )
-            rem = rem - cost
         out = jax.lax.dynamic_update_slice(out, emit[None, :], (t, 0))
-        j = j - jnp.where(jnp.logical_or(ins_now, diag_now), 1, 0)
-        i = i - jnp.where(jnp.logical_or(del_now, diag_now), 1, 0)
-        if is_local:
-            done = jnp.logical_or(
-                done,
-                jnp.logical_and(emit > 0, rem <= 0),
-            )
-            done = jnp.logical_or(
-                done, jnp.logical_and(i == m, emit == 0)
-            )  # never-started lanes (score <= 0)
         # lanes still inside row m (insertion run continues)?
         more_this_row = jnp.logical_and(
             jnp.logical_and(i == m, ~done), True
