@@ -259,3 +259,28 @@ def test_long_sequences_2k():
     from tpu_align.oracle.vectorized import fill_vectorized
     want = fill_vectorized(Algorithm.LNW, PARAMS, ref, qry).global_score
     assert int(fill.scores[0]) == want
+
+
+@pytest.mark.parametrize("algo", [Algorithm.LNW, Algorithm.LSW])
+def test_device_walk_phase_budget_overflow(algo):
+    """Lanes spending long insertion runs at DIFFERENT rows serialize the
+    row-phase walk: the total phase count exceeds the M+N budget and the
+    device walk must retry with a larger budget instead of silently
+    truncating the move streams.  Blocked sequences (A^k C^(8-k) against
+    A-block ... C-block) pin each pair's run to a different row."""
+    from tpu_align.kernels.stagger import STRIPE_S, fill_stagger_bucket_async
+    from tpu_align.traceback.device import device_traceback_bucket
+
+    ref = "A" * 8 + "G" * 48 + "C" * 8
+    pairs = [(ref, "A" * k + "C" * (8 - k)) for k in range(1, 8)]
+    params = AlignmentParams(match=3, mismatch=-1, gap=-2)
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=8, query_multiple=8)):
+        scores, srow, scol, dirs = fill_stagger_bucket_async(
+            algo, params, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len)
+        dev = {r.pair_num: r for r in device_traceback_bucket(
+            algo, b, scores, srow, scol, dirs, params, STRIPE_S)}
+        for i in sorted(dev):
+            want = align_pair(algo, params, *pairs[i], pair_num=i,
+                              engine="scalar")
+            assert dev[i].block() == want.block(), (algo, i)

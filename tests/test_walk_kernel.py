@@ -1,0 +1,103 @@
+"""Pallas walk kernel vs the XLA while_loop walker.
+
+The two walkers share one move-semantics definition (decide_step), but
+the Pallas kernel phases each lane group independently, so the packed
+streams may place codes at different global steps.  The contract is:
+identical per-lane MOVE SEQUENCES (the nonzero codes in walk order),
+hence byte-identical alignment strings after replay.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.io import BucketSpec, PairDataset, bucketize
+from tpu_align.kernels.stagger import STRIPE_S, fill_stagger_bucket_async
+from tpu_align.oracle.api import align_pair
+from tpu_align.traceback.device import (
+    device_traceback_bucket,
+    device_traceback_moves,
+    unpack_moves,
+)
+from tests.conftest import random_dna
+
+PARAMS = AlignmentParams(match=3, mismatch=-1, gap=-2, gap_open=-4,
+                         gap_extend=-1)
+
+
+def _lane_seqs(packed, t):
+    codes = unpack_moves(packed, t)
+    return [tuple(c for c in codes[:, b] if c)
+            for b in range(codes.shape[1])]
+
+
+def _walk_both(algo, bucket, multi_group=False, monkeypatch=None):
+    scores, srow, scol, dirs = fill_stagger_bucket_async(
+        algo, PARAMS, bucket.ref_tokens, bucket.qry_tokens,
+        bucket.ref_len, bucket.qry_len)
+    if multi_group:
+        import tpu_align.traceback.walk_kernel as wk
+        monkeypatch.setattr(wk, "_group_lanes",
+                            lambda b: 8 if b % 8 == 0 else b)
+    px, tx = device_traceback_moves(algo, PARAMS, dirs, srow, scol,
+                                    scores, STRIPE_S, walker="xla")
+    pp, tp = device_traceback_moves(algo, PARAMS, dirs, srow, scol,
+                                    scores, STRIPE_S, walker="pallas")
+    return (px, tx), (pp, tp), (scores, srow, scol, dirs)
+
+
+@pytest.mark.parametrize("algo",
+                         [Algorithm.LNW, Algorithm.LSW, Algorithm.ANW])
+def test_pallas_walker_matches_xla(rng, algo, monkeypatch):
+    """Multi-stripe queries, multiple lane groups: per-lane move
+    sequences from the Pallas kernel equal the XLA walker's."""
+    pairs = [(random_dna(rng, 1, 90), random_dna(rng, 1, 90))
+             for _ in range(16)]
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=16, query_multiple=96)):
+        xla, pal, _ = _walk_both(algo, b, multi_group=True,
+                                 monkeypatch=monkeypatch)
+        assert _lane_seqs(*xla) == _lane_seqs(*pal), algo
+
+
+@pytest.mark.parametrize("algo", [Algorithm.LNW, Algorithm.ANW])
+def test_pallas_walker_phase_budget_overflow(algo):
+    """The doubling-retry contract holds for the Pallas walker too:
+    blocked sequences force per-row serialization past the M+N budget."""
+    ref = "A" * 8 + "G" * 48 + "C" * 8
+    pairs = [(ref, "A" * k + "C" * (8 - k)) for k in range(1, 8)]
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=8, query_multiple=8)):
+        xla, pal, arrs = _walk_both(algo, b)
+        assert _lane_seqs(*xla) == _lane_seqs(*pal), algo
+        scores, srow, scol, dirs = arrs
+        dev = {r.pair_num: r for r in device_traceback_bucket(
+            algo, b, scores, srow, scol, dirs, PARAMS, STRIPE_S,
+            walker="pallas")}
+        for i in sorted(dev):
+            want = align_pair(algo, PARAMS, *pairs[i], pair_num=i,
+                              engine="scalar")
+            assert dev[i].block() == want.block(), (algo, i)
+
+
+def test_pallas_walker_bucket_strings(rng):
+    """End-to-end bucket replay through the Pallas walker is
+    byte-identical to the scalar oracle (local algorithm: exercises the
+    re-scoring stop and never-started lanes)."""
+    algo = Algorithm.LSW
+    pairs = [(random_dna(rng, 1, 60, alphabet="AT"),
+              random_dna(rng, 1, 60, alphabet="AT")) for _ in range(8)]
+    pairs.append(("TTTT", "AAAA"))  # score 0: empty output
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=16, query_multiple=64)):
+        scores, srow, scol, dirs = fill_stagger_bucket_async(
+            algo, PARAMS, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len)
+        dev = {r.pair_num: r for r in device_traceback_bucket(
+            algo, b, scores, srow, scol, dirs, PARAMS, STRIPE_S,
+            walker="pallas")}
+        for i in sorted(dev):
+            want = align_pair(algo, PARAMS, *pairs[i], pair_num=i,
+                              engine="scalar")
+            assert dev[i].block() == want.block(), i

@@ -135,14 +135,31 @@ def decide_step(algorithm, params, code, m, i, j, rem, anw_state, done):
     return emit, i, j, rem, anw_state, done
 
 
+def _walk_phase_budget(m_rows: int, w_words: int, spw: int) -> int:
+    """Initial phase budget: M + N(+pad) + slack, whole packed words.
+
+    This covers every walk whose insertion runs overlap across lanes (one
+    lane's path is at most M + N moves and phases are shared while lanes
+    sit in the same row).  Lanes spending long runs at *different* rows
+    serialize, so the true phase count is data-dependent and can exceed
+    this -- `device_traceback_moves` detects budget exhaustion and retries
+    doubled (same structure as the reference sizing its traceback buffers
+    to worst-case path length, cuda/LNW/LinearNeedlemanWunschV19.cu:81)."""
+    t = m_rows + w_words * spw + 4
+    return -(-t // 16) * 16  # whole packed words
+
+
 @functools.partial(jax.jit, static_argnames=("algorithm", "params",
-                                             "stripe_s"))
+                                             "stripe_s", "t_max"))
 def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
-                 stripe_s):
+                 stripe_s, t_max):
     """Vectorized backward walk.  Returns (moves (T16, B) int32 packed
     16 codes/word, total_steps (scalar)).
 
     dirs: (stripes, W, S, B) stagger words (device array).
+    A returned total_steps >= t_max - 1 means the phase budget ran out
+    and the streams are truncated; callers must retry with a larger
+    t_max (device_traceback_moves does).
     """
     S = stripe_s
     bits = bits_per_cell(algorithm)
@@ -157,9 +174,6 @@ def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
     i0 = start_row.astype(jnp.int32).reshape(B)
     j0 = start_col.astype(jnp.int32).reshape(B)
     rem0 = scores.astype(jnp.int32).reshape(B)
-
-    t_max = int(M + rows_tensor.shape[1] * spw + 4)  # M + N(+pad) + slack
-    t_max = -(-t_max // 16) * 16  # whole packed words
     out = jnp.zeros((t_max, B), jnp.int32)  # one code per global step
     w_iota = jnp.arange(W, dtype=jnp.int32)[:, None]  # (W, 1)
 
@@ -235,15 +249,43 @@ def device_traceback_moves(
     dirs,
     start_row, start_col, scores,
     stripe_s: int,
+    walker: str = "xla",
 ):
     """Run the device walk; returns (packed_moves (T16, B) np.int32,
-    steps int).  Only the packed moves cross the host boundary."""
-    packed, t = _device_walk(
-        algorithm, params, jnp.asarray(dirs),
-        jnp.asarray(start_row), jnp.asarray(start_col), jnp.asarray(scores),
-        stripe_s,
-    )
-    return np.asarray(packed), int(t)
+    steps int).  Only the packed moves cross the host boundary.
+
+    walker="pallas" runs the walk loop as one Pallas program with the
+    stripe slab in VMEM (traceback/walk_kernel.py); walker="xla" is the
+    jitted while_loop formulation (both byte-identical via decide_step).
+
+    Phases are shared across lanes (all lanes walk the same DP row), so
+    the phase count is data-dependent: lanes spending long insertion runs
+    at different rows serialize.  Walks that exhaust the budget are
+    detected (steps >= t_max - 1) and retried with a doubled budget --
+    the streams would otherwise be silently truncated."""
+    dirs = jnp.asarray(dirs)
+    stripes, W, _, _ = dirs.shape
+    bits = bits_per_cell(algorithm)
+    spw = 32 // bits
+    t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
+    args = (jnp.asarray(start_row), jnp.asarray(start_col),
+            jnp.asarray(scores))
+    if walker == "pallas":
+        from tpu_align.traceback.walk_kernel import device_walk_pallas
+        walk = functools.partial(device_walk_pallas, algorithm, params,
+                                 dirs, *args, stripe_s)
+    elif walker == "xla":
+        walk = functools.partial(_device_walk, algorithm, params, dirs,
+                                 *args, stripe_s)
+    else:
+        raise ValueError(f"unknown walker {walker!r}")
+    for _ in range(32):  # 2**32x the M+N budget is unreachable
+        packed, t = walk(t_max)
+        t = int(t)
+        if t < t_max - 1:
+            return np.asarray(packed), t
+        t_max *= 2
+    raise RuntimeError("device walk failed to converge")  # pragma: no cover
 
 
 def moves_to_result(
@@ -298,6 +340,7 @@ def device_traceback_bucket(
     scores, srow, scol, dirs,
     params: AlignmentParams,
     stripe_s: int,
+    walker: str = "xla",
 ) -> list:
     """Full V8-style bucket traceback: device walk + host replay.
 
@@ -305,7 +348,8 @@ def device_traceback_bucket(
     stream are ever transferred.  String assembly uses the threaded native
     replayer (native/tpualign.cpp ta_replay_moves) when available."""
     packed, steps = device_traceback_moves(
-        algorithm, params, dirs, srow, scol, scores, stripe_s
+        algorithm, params, dirs, srow, scol, scores, stripe_s,
+        walker=walker,
     )
     sc = np.asarray(scores)
     sr = np.asarray(srow)

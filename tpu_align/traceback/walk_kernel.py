@@ -1,0 +1,216 @@
+"""Pallas device-traceback walk kernel.
+
+The XLA `while_loop` walker (traceback/device.py) re-reads the direction
+rows from HBM and pays the loop's per-iteration dispatch overhead on every
+phase; at small batches that overhead dominates (PERF.md headroom #3).
+This kernel runs the identical row-phase walk *inside* one Pallas program:
+the current stripe's direction words live in VMEM, the walker state is
+VMEM scratch carried across the stripe grid, and the per-phase critical
+path is a handful of vector ops on lane-group registers.
+
+Role model: the reference's on-GPU `backtracking()` thread
+(cuda/LNW/LinearNeedlemanWunschV19.cu:26-110) -- the walk happens on the
+accelerator and only packed move streams cross the host boundary.
+
+Structure
+---------
+* grid = (lane groups, stripes); the stripe axis is iterated LAST-fastest
+  and index-mapped in reverse, so each lane group walks stripes from the
+  bottom of the DP matrix upward while its state persists in scratch.
+* Within a stripe, a `lax.while_loop` advances the shared row phase m
+  exactly like the XLA walker; the move semantics are literally the same
+  function (`decide_step` -- byte-identical output by construction).
+* A lane's direction word for row m is selected from the stripe slab with
+  one dynamic-sublane read + compare-select per word plane (W ~ 18 for
+  250bp); no per-lane gather is ever needed.
+* Emitted codes land in a VMEM step buffer; the final grid step packs
+  them 16-per-int32 and writes the packed block plus the phase count.
+
+The phase budget contract matches the XLA walker: a reported step count
+>= t_max - 1 means the budget ran out (lanes spent long insertion runs at
+different rows) and the caller retries with a doubled t_max.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_align.kernels.fill import TILE_P, _default_interpret, bits_per_cell
+from tpu_align.traceback.device import decide_step
+
+
+def _group_lanes(b: int) -> int:
+    """Widest lane group that divides the batch: more parallel walk chains
+    per program (the per-phase serial chain is latency-bound; independent
+    lane groups give Mosaic work to pipeline)."""
+    for g in (1024, 512, 256, TILE_P):
+        if b % g == 0:
+            return g
+    return b  # interpret-mode small batches
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "algorithm", "params", "stripe_s", "t_max", "interpret"))
+def _walk_pallas_jit(algorithm, params, dirs, start_row, start_col, scores,
+                     stripe_s, t_max, interpret=False):
+    S = stripe_s
+    bits = bits_per_cell(algorithm)
+    spw = 32 // bits
+    stripes, W, _, B = dirs.shape
+    is_local = algorithm.is_local
+    gt = _group_lanes(B)
+    t16 = t_max // 16
+    assert t_max % 16 == 0
+
+    srow = start_row.astype(jnp.int32).reshape(1, B)
+    scol = start_col.astype(jnp.int32).reshape(1, B)
+    sc = scores.astype(jnp.int32).reshape(1, B)
+
+    def kernel(dirs_ref, srow_ref, scol_ref, sc_ref, packed_ref, tout_ref,
+               emit_buf, i_s, j_s, rem_s, anw_s, done_s, t_smem):
+        sg = pl.program_id(1)
+        num_stripes = pl.num_programs(1)
+        sidx = num_stripes - 1 - sg  # real stripe (walk goes bottom-up)
+        i0 = sidx * S
+
+        @pl.when(sg == 0)
+        def _init():
+            i_s[:, :] = srow_ref[:, :]
+            j_s[:, :] = scol_ref[:, :]
+            rem_s[:, :] = sc_ref[:, :]
+            anw_s[:, :] = jnp.zeros((1, gt), jnp.int32)
+            if is_local:
+                done_s[:, :] = (sc_ref[:, :] <= 0).astype(jnp.int32)
+            else:
+                done_s[:, :] = jnp.zeros((1, gt), jnp.int32)
+            t_smem[0] = 0
+            emit_buf[:, :] = jnp.zeros((t_max, gt), jnp.int32)
+
+        def extract(sread, j):
+            """Word holding cell (i0 + sread + 1, j) per lane: one dynamic
+            sublane read per word plane + compare-select."""
+            k = (j - 1) + sread
+            w = k // spw
+            word = jnp.zeros((1, gt), jnp.int32)
+            for wi in range(W):
+                plane = dirs_ref[0, wi, pl.ds(sread, 1), :]
+                word = jnp.where(w == wi, plane, word)
+            return (word >> (bits * (k % spw))) & ((1 << bits) - 1)
+
+        def cond(state):
+            m, t = state[0], state[1]
+            return jnp.logical_and(m > i0, t < t_max - 1)
+
+        def body(state):
+            m, t, i, j, rem, anw, done = state
+            code = extract(m - 1 - i0, j)
+            emit, i, j, rem, anw, done = decide_step(
+                algorithm, params, code, m, i, j, rem, anw, done != 0)
+            emit_buf[pl.ds(t, 1), :] = emit
+            more = jnp.logical_and(i == m, ~done)
+            any_more = jnp.sum(more.astype(jnp.int32)) > 0
+            m = jnp.where(any_more, m, m - 1)
+            return (m, t + 1, i, j, rem, anw, done.astype(jnp.int32))
+
+        state = (jnp.int32(i0 + S), t_smem[0], i_s[:, :], j_s[:, :],
+                 rem_s[:, :], anw_s[:, :], done_s[:, :])
+        m, t, i, j, rem, anw, done = jax.lax.while_loop(cond, body, state)
+        i_s[:, :] = i
+        j_s[:, :] = j
+        rem_s[:, :] = rem
+        anw_s[:, :] = anw
+        done_s[:, :] = done
+        t_smem[0] = t
+
+        @pl.when(sg == num_stripes - 1)
+        def _finish():
+            t = t_smem[0]
+            if not is_local:
+                # border flush: i == 0 with columns left -> insertions
+                def fcond(fs):
+                    t, j = fs[0], fs[1]
+                    return jnp.logical_and(
+                        jnp.sum((j > 0).astype(jnp.int32)) > 0,
+                        t < t_max - 1,
+                    )
+
+                def fbody(fs):
+                    t, j = fs
+                    emit = jnp.where(j > 0, 3, 0).astype(jnp.int32)
+                    emit_buf[pl.ds(t, 1), :] = emit
+                    return (t + 1, j - (j > 0).astype(jnp.int32))
+
+                t, j = jax.lax.while_loop(fcond, fbody, (t, j_s[:, :]))
+                j_s[:, :] = j
+            tout_ref[:, :] = jnp.full((1, gt), 1, jnp.int32) * t
+            # pack 16 codes per int32 word (OR == sum: disjoint bit ranges)
+            sh16 = 2 * jax.lax.broadcasted_iota(jnp.int32, (16, gt), 0)
+
+            def pack(w2, _):
+                slab = emit_buf[pl.ds(16 * w2, 16), :]
+                word = jnp.sum(slab << sh16, axis=0, keepdims=True)
+                packed_ref[pl.ds(w2, 1), :] = word
+                return 0
+
+            jax.lax.fori_loop(0, t16, pack, 0)
+
+    grid = (B // gt, stripes)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, W, S, gt),
+                         lambda g, s: (stripes - 1 - s, 0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t16, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((t16, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_max, gt), jnp.int32),  # emitted codes by phase
+            pltpu.VMEM((1, gt), jnp.int32),      # i
+            pltpu.VMEM((1, gt), jnp.int32),      # j
+            pltpu.VMEM((1, gt), jnp.int32),      # rem (local re-scoring)
+            pltpu.VMEM((1, gt), jnp.int32),      # affine walker state
+            pltpu.VMEM((1, gt), jnp.int32),      # done
+            pltpu.SMEM((1,), jnp.int32),         # shared phase counter
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(dirs, srow, scol, sc)
+    packed, tout = out
+    return packed, jnp.max(tout)
+
+
+def device_walk_pallas(algorithm, params, dirs, start_row, start_col,
+                       scores, stripe_s, t_max, interpret=None):
+    """Pallas row-phase walk; same contract as device._device_walk:
+    (packed (T16, B) int32, phases) with phases >= t_max - 1 signalling
+    budget exhaustion (caller retries doubled)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _walk_pallas_jit(
+        algorithm, params, jnp.asarray(dirs), jnp.asarray(start_row),
+        jnp.asarray(start_col), jnp.asarray(scores), stripe_s, t_max,
+        interpret=interpret,
+    )
