@@ -138,19 +138,18 @@ def test_engine_checkpoint_preserves_extra_paths(tmp_path):
     assert [r.block() for r in back] == [r.block() for r in recs]
 
 
-@pytest.mark.parametrize("algo",
-                         [Algorithm.LNW, Algorithm.LSW, Algorithm.ANW])
+@pytest.mark.parametrize("algo", [Algorithm.LNW, Algorithm.LSW,
+                                  Algorithm.ANW, Algorithm.BSW])
 def test_engine_device_traceback_matches_host(algo):
     """traceback='device' (the V8 move: on-accelerator walk, only move
-    streams transfer) must be byte-identical to the host walk."""
+    streams transfer) must be byte-identical to the host walk -- all four
+    aligners (BSW walks the skewed banded layout)."""
     ds = synthetic_dataset(25, min_len=4, max_len=100, seed=21)
     host = AlignmentEngine(algo, bucket_spec=_SPEC, traceback="host").run(ds)
     dev = AlignmentEngine(algo, bucket_spec=_SPEC, traceback="device").run(ds)
     assert dev.output_text() == host.output_text()
 
 
-def test_engine_device_traceback_rejects_bsw():
-    with pytest.raises(ValueError):
-        AlignmentEngine(Algorithm.BSW, traceback="device")
+def test_engine_device_traceback_rejects_rowscan():
     with pytest.raises(ValueError):
         AlignmentEngine(Algorithm.LNW, kernel="rowscan", traceback="device")

@@ -101,3 +101,26 @@ def test_pallas_walker_bucket_strings(rng):
             want = align_pair(algo, PARAMS, *pairs[i], pair_num=i,
                               engine="scalar")
             assert dev[i].block() == want.block(), i
+
+
+def test_banded_device_walk_matches_oracle(rng):
+    """BSW device traceback over the skewed banded dirs layout:
+    byte-identical to the scalar oracle, including tie-rich
+    sparse-alphabet pairs and score-0 pairs."""
+    from tpu_align.kernels.banded import fill_banded_bucket_async
+
+    algo = Algorithm.BSW
+    params = AlignmentParams(match=3, mismatch=-1, gap=-2, band=4)
+    pairs = [(random_dna(rng, 1, 60, alphabet="AT"),
+              random_dna(rng, 1, 60, alphabet="AT")) for _ in range(8)]
+    pairs.append(("TTTT", "AAAA"))
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=16, query_multiple=64)):
+        scores, srow, scol, dirs = fill_banded_bucket_async(
+            params, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len)
+        dev = {r.pair_num: r for r in device_traceback_bucket(
+            algo, b, scores, srow, scol, dirs, params, 0)}
+        for i in sorted(dev):
+            want = align_pair(algo, params, *pairs[i], pair_num=i,
+                              engine="scalar")
+            assert dev[i].block() == want.block(), i

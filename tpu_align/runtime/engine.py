@@ -94,7 +94,8 @@ class AlignmentEngine:
         (the reference's V8 move, traceback/device.py) so only 2-bit move
         streams cross the host boundary -- ~128x less device-to-host
         transfer than the direction tensor; output is byte-identical to
-        the host walk.  Requires the stagger kernel (LNW/LSW/ANW)."""
+        the host walk.  LNW/LSW/ANW walk the stagger layout (requires
+        kernel="stagger"); BSW walks the skewed banded layout."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
@@ -111,12 +112,11 @@ class AlignmentEngine:
         self.kernel = "stagger" if kernel == "auto" else kernel
         if traceback not in ("host", "device"):
             raise ValueError(f"unknown traceback mode {traceback!r}")
-        if traceback == "device" and (
-            self.kernel != "stagger" or algorithm is Algorithm.BSW
-        ):
+        if (traceback == "device" and self.kernel != "stagger"
+                and algorithm is not Algorithm.BSW):
             raise ValueError(
                 "traceback='device' requires the stagger kernel "
-                "(LNW/LSW/ANW)"
+                "(LNW/LSW/ANW) or the banded BSW kernel"
             )
         self.traceback_mode = traceback
 

@@ -243,6 +243,59 @@ def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
     return packed, t
 
 
+@functools.partial(jax.jit, static_argnames=("params", "t_max"))
+def _device_walk_banded(params, dirs, start_row, start_col, scores, t_max):
+    """Row-phase walk over the skewed banded dirs (MW, B, K8): slot
+    k = j - i + band holds cell (i, j) (kernels/banded.py layout).
+    Same contract as _device_walk; the re-scoring stop guarantees the
+    cursor never reads an out-of-band cell while active (out-of-band
+    H == 0, so `rem` reaches 0 exactly at the band edge)."""
+    band = params.band
+    algorithm = Algorithm.BSW
+    MW, B, K8 = dirs.shape
+    M = MW * 16  # 2-bit codes: 16 query rows per word
+
+    i0 = start_row.astype(jnp.int32).reshape(B)
+    j0 = start_col.astype(jnp.int32).reshape(B)
+    rem0 = scores.astype(jnp.int32).reshape(B)
+    out = jnp.zeros((t_max, B), jnp.int32)
+    k_iota = jnp.arange(K8, dtype=jnp.int32)[None, :]  # (1, K8)
+
+    def body(state):
+        m, t, j, i, rem, done, out = state
+        words = jax.lax.dynamic_slice(
+            dirs, ((m - 1) // 16, 0, 0), (1, B, K8)
+        )[0]  # (B, K8)
+        slot = j - m + band  # per-lane band slot (may be out of range:
+        #                       matches nothing -> word 0, never read live)
+        word = jnp.sum(
+            jnp.where(k_iota == slot[:, None], words, 0), axis=1
+        )
+        code = (word >> (2 * ((m - 1) % 16))) & 3
+        emit, i, j, rem, _, done = decide_step(
+            algorithm, params, code, m, i, j, rem,
+            jnp.zeros((), jnp.int32), done)
+        out = jax.lax.dynamic_update_slice(out, emit[None, :], (t, 0))
+        any_more = jnp.any(jnp.logical_and(i == m, ~done))
+        m = jnp.where(any_more, m, m - 1)
+        return m, t + 1, j, i, rem, done, out
+
+    def cond(state):
+        m, t = state[0], state[1]
+        return jnp.logical_and(m >= 1, t < t_max - 1)
+
+    state = (jnp.int32(M), jnp.int32(0), j0, i0, rem0, rem0 <= 0, out)
+    m, t, j, i, rem, done, out = jax.lax.while_loop(cond, body, state)
+
+    t16 = t_max // 16
+    shifts = (2 * (jnp.arange(t_max) % 16)).astype(jnp.int32)
+    packed = jnp.sum(
+        (out << shifts[:, None]).reshape(t16, 16, B), axis=1,
+        dtype=jnp.int32,
+    )
+    return packed, t
+
+
 def device_traceback_moves(
     algorithm: Algorithm,
     params: AlignmentParams,
@@ -264,17 +317,23 @@ def device_traceback_moves(
     detected (steps >= t_max - 1) and retried with a doubled budget --
     the streams would otherwise be silently truncated."""
     dirs = jnp.asarray(dirs)
-    stripes, W, _, _ = dirs.shape
-    bits = bits_per_cell(algorithm)
-    spw = 32 // bits
-    t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
     args = (jnp.asarray(start_row), jnp.asarray(start_col),
             jnp.asarray(scores))
-    if walker == "pallas":
+    if algorithm.is_banded:
+        mw, _, k8 = dirs.shape
+        t_max = _walk_phase_budget(mw * 16, k8, 1)
+        walk = functools.partial(_device_walk_banded, params, dirs, *args)
+    elif walker == "pallas":
         from tpu_align.traceback.walk_kernel import device_walk_pallas
+        stripes, W, _, _ = dirs.shape
+        spw = 32 // bits_per_cell(algorithm)
+        t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
         walk = functools.partial(device_walk_pallas, algorithm, params,
                                  dirs, *args, stripe_s)
     elif walker == "xla":
+        stripes, W, _, _ = dirs.shape
+        spw = 32 // bits_per_cell(algorithm)
+        t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
         walk = functools.partial(_device_walk, algorithm, params, dirs,
                                  *args, stripe_s)
     else:
