@@ -147,7 +147,8 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
 
 
 def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
-                     algorithm="lnw", verbose=True, traceback_mode="host"):
+                     algorithm="lnw", verbose=True, traceback_mode="host",
+                     walker="xla"):
     """End-to-end engine run (fill + traceback + formatting) with the V19
     phase breakdown; emits a record consumable by
     tpu_align.utils.timing_analysis.  traceback_mode='device' exercises
@@ -166,6 +167,7 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         algo,
         bucket_spec=BucketSpec(batch_pairs=batch_pairs, pair_multiple=128),
         traceback=traceback_mode,
+        walker=walker,
     )
     engine.warmup(ds)
     t0 = time.perf_counter()
@@ -211,6 +213,8 @@ def main():
                     choices=["host", "device"],
                     help="engine bench traceback mode (device = V8-style "
                          "on-accelerator walk)")
+    ap.add_argument("--walker", default="xla", choices=["xla", "pallas"],
+                    help="device-walk engine for --traceback device")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one sweep to DIR")
@@ -220,6 +224,7 @@ def main():
             num_pairs=args.pairs, seq_len=args.seq_len,
             batch_pairs=args.batch, algorithm=args.algorithm,
             verbose=not args.quiet, traceback_mode=args.traceback,
+            walker=args.walker,
         )
     else:
         result = run_bench(

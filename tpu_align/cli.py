@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="walk packed directions on the host (threaded "
                         "native walker) or on the accelerator (V8-style; "
                         "only move streams transfer)")
+    p.add_argument("-walker", default="xla", choices=["xla", "pallas"],
+                   help="device-walk engine for -traceback device "
+                        "(lnw/lsw/anw): jitted while_loop or the Pallas "
+                        "walk kernel")
     p.add_argument("-kernel", default="auto",
                    choices=["auto", "stagger", "rowscan"],
                    help="fill formulation for lnw/lsw/anw")
@@ -98,6 +102,7 @@ def main(argv=None) -> int:
         max_inflight=args.max_inflight,
         kernel=args.kernel,
         traceback=args.traceback,
+        walker=args.walker,
     )
     out = engine.run(ds, checkpoint_dir=args.checkpoint_dir)
     if not args.no_output:

@@ -70,6 +70,7 @@ class AlignmentEngine:
         max_inflight: int = 4,
         kernel: str = "auto",
         traceback: str = "host",
+        walker: str = "xla",
     ):
         """local_mode (local aligners only): "single" follows the CUDA host
         semantics (one path from the first row-major max cell); "all"
@@ -95,7 +96,12 @@ class AlignmentEngine:
         streams cross the host boundary -- ~128x less device-to-host
         transfer than the direction tensor; output is byte-identical to
         the host walk.  LNW/LSW/ANW walk the stagger layout (requires
-        kernel="stagger"); BSW walks the skewed banded layout."""
+        kernel="stagger"); BSW walks the skewed banded layout.
+
+        walker selects the device-walk engine for LNW/LSW/ANW:
+        "xla" (jitted while_loop) or "pallas" (one Pallas program with
+        the stripe slab in VMEM, traceback/walk_kernel.py).  Per-lane
+        move sequences are identical (shared decide_step)."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
@@ -119,6 +125,9 @@ class AlignmentEngine:
                 "(LNW/LSW/ANW) or the banded BSW kernel"
             )
         self.traceback_mode = traceback
+        if walker not in ("xla", "pallas"):
+            raise ValueError(f"unknown walker {walker!r}")
+        self.walker = walker
 
     def _oracle_fallback(self, ds: PairDataset, i: int) -> AlignmentResult:
         ref, qry = ds.pair(i)
@@ -271,7 +280,7 @@ class AlignmentEngine:
                 with timer.phase("backtrack"):
                     bucket_results = device_traceback_bucket(
                         self.algorithm, b, scores, srow, scol, dirs,
-                        self.params, STRIPE_S,
+                        self.params, STRIPE_S, walker=self.walker,
                     )
                 results.extend(bucket_results)
                 if checkpoint_dir:
