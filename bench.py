@@ -181,8 +181,10 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         "value": round(num_pairs / total),
         "unit": "pairs/sec",
         "vs_baseline": round((num_pairs / total) / (100_000 / 0.4406), 3),
-        "label": f"{algo.value}-e2e-{traceback_mode}",
+        "label": f"{algo.value}-e2e-{traceback_mode}"
+                 + (f"-{walker}" if traceback_mode == "device" else ""),
         "traceback_mode": traceback_mode,
+        "walker": walker if traceback_mode == "device" else None,
         "phases": {k: round(v, 6) for k, v in out.timer.seconds.items()},
         "total_s": round(total, 4),
         "gcups_kernel_phase": round(out.gcups, 2),

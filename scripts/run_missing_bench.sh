@@ -1,5 +1,6 @@
 #!/usr/bin/env bash
-# One-off: fill the BENCHMATRIX.jsonl rows still marked TBD in PERF.md.
+# One-off: fill the BENCHMATRIX.jsonl rows still marked TBD in PERF.md,
+# plus the device-walk A/B (xla vs pallas) engine rows.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 out=${1:-bench_missing.jsonl}
@@ -11,4 +12,6 @@ run --algorithm bsw --scores-only
 run --pairs 1536 --len 2048 --batch 1536
 run --engine --pairs 20000
 run --engine --pairs 20000 --traceback device
+run --engine --pairs 20000 --traceback device --walker pallas
+run --engine --pairs 20000 --algorithm bsw --traceback device
 echo "done -> $out" >&2
