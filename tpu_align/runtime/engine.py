@@ -252,7 +252,11 @@ class AlignmentEngine:
         # max_inflight buckets' kernels outstanding so the device never
         # holds more than that many direction tensors; the consumer below
         # blocks on the oldest while the rest still run (the V19 overlap).
-        launches: list[tuple[Bucket, tuple]] = []
+        # In device-traceback mode the walk is dispatched right behind its
+        # bucket's fill (JAX chains them on device), so bucket N+1's fill
+        # AND walk both run while the host replays bucket N's strings.
+        device_tb = self.traceback_mode == "device" and self.with_traceback
+        launches: list[tuple[Bucket, tuple, object]] = []
         next_up = 0
 
         def _top_up():
@@ -261,14 +265,24 @@ class AlignmentEngine:
             while next_up < len(pending) and len(launches) < limit:
                 b = pending[next_up]
                 with timer.phase("dispatch"):
-                    launches.append((b, self._dispatch(b)))
+                    outs = self._dispatch(b)
+                    handle = None
+                    if device_tb and outs[3] is not None:
+                        from tpu_align.traceback.device import (
+                            device_walk_dispatch,
+                        )
+
+                        handle = device_walk_dispatch(
+                            self.algorithm, self.params, outs[3], outs[1],
+                            outs[2], outs[0], STRIPE_S, walker=self.walker,
+                        )
+                    launches.append((b, outs, handle))
                 next_up += 1
 
         _top_up()
         while launches:
-            b, (scores, srow, scol, dirs) = launches.pop(0)
-            if (self.traceback_mode == "device" and self.with_traceback
-                    and dirs is not None):
+            b, (scores, srow, scol, dirs), handle = launches.pop(0)
+            if device_tb and dirs is not None:
                 # V8-style: dirs never leave the device; the walk runs
                 # there and only packed 2-bit move streams transfer
                 from tpu_align.traceback.device import (
@@ -281,6 +295,7 @@ class AlignmentEngine:
                     bucket_results = device_traceback_bucket(
                         self.algorithm, b, scores, srow, scol, dirs,
                         self.params, STRIPE_S, walker=self.walker,
+                        handle=handle,
                     )
                 results.extend(bucket_results)
                 if checkpoint_dir:

@@ -296,6 +296,66 @@ def _device_walk_banded(params, dirs, start_row, start_col, scores, t_max):
     return packed, t
 
 
+def device_walk_dispatch(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    dirs,
+    start_row, start_col, scores,
+    stripe_s: int,
+    walker: str = "xla",
+    t_max: int | None = None,
+):
+    """Dispatch the device walk asynchronously (JAX chains it after the
+    bucket's fill on device -- the engine overlaps bucket N+1's walk with
+    bucket N's host replay, the V19 pipelining applied to the V8 walk).
+
+    Returns an opaque handle for device_walk_finalize."""
+    dirs = jnp.asarray(dirs)
+    args = (jnp.asarray(start_row), jnp.asarray(start_col),
+            jnp.asarray(scores))
+    if algorithm.is_banded:
+        mw, _, k8 = dirs.shape
+        budget = _walk_phase_budget(mw * 16, k8, 1)
+        walk = functools.partial(_device_walk_banded, params, dirs, *args)
+    elif walker == "pallas":
+        from tpu_align.traceback.walk_kernel import device_walk_pallas
+        stripes, W, _, _ = dirs.shape
+        spw = 32 // bits_per_cell(algorithm)
+        budget = _walk_phase_budget(stripes * stripe_s, W, spw)
+        walk = functools.partial(device_walk_pallas, algorithm, params,
+                                 dirs, *args, stripe_s)
+    elif walker == "xla":
+        stripes, W, _, _ = dirs.shape
+        spw = 32 // bits_per_cell(algorithm)
+        budget = _walk_phase_budget(stripes * stripe_s, W, spw)
+        walk = functools.partial(_device_walk, algorithm, params, dirs,
+                                 *args, stripe_s)
+    else:
+        raise ValueError(f"unknown walker {walker!r}")
+    t_max = t_max or budget
+    packed, t = walk(t_max)
+    return walk, packed, t, t_max
+
+
+def device_walk_finalize(handle):
+    """Block on a dispatched walk; returns (packed (T16, B) np.int32,
+    steps int).
+
+    Phases are shared across lanes (all lanes walk the same DP row), so
+    the phase count is data-dependent: lanes spending long insertion runs
+    at different rows serialize.  Walks that exhaust the budget are
+    detected (steps >= t_max - 1) and retried with a doubled budget --
+    the streams would otherwise be silently truncated."""
+    walk, packed, t, t_max = handle
+    for _ in range(32):  # 2**32x the M+N budget is unreachable
+        t = int(t)
+        if t < t_max - 1:
+            return np.asarray(packed), t
+        t_max *= 2
+        packed, t = walk(t_max)
+    raise RuntimeError("device walk failed to converge")  # pragma: no cover
+
+
 def device_traceback_moves(
     algorithm: Algorithm,
     params: AlignmentParams,
@@ -309,42 +369,11 @@ def device_traceback_moves(
 
     walker="pallas" runs the walk loop as one Pallas program with the
     stripe slab in VMEM (traceback/walk_kernel.py); walker="xla" is the
-    jitted while_loop formulation (both byte-identical via decide_step).
-
-    Phases are shared across lanes (all lanes walk the same DP row), so
-    the phase count is data-dependent: lanes spending long insertion runs
-    at different rows serialize.  Walks that exhaust the budget are
-    detected (steps >= t_max - 1) and retried with a doubled budget --
-    the streams would otherwise be silently truncated."""
-    dirs = jnp.asarray(dirs)
-    args = (jnp.asarray(start_row), jnp.asarray(start_col),
-            jnp.asarray(scores))
-    if algorithm.is_banded:
-        mw, _, k8 = dirs.shape
-        t_max = _walk_phase_budget(mw * 16, k8, 1)
-        walk = functools.partial(_device_walk_banded, params, dirs, *args)
-    elif walker == "pallas":
-        from tpu_align.traceback.walk_kernel import device_walk_pallas
-        stripes, W, _, _ = dirs.shape
-        spw = 32 // bits_per_cell(algorithm)
-        t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
-        walk = functools.partial(device_walk_pallas, algorithm, params,
-                                 dirs, *args, stripe_s)
-    elif walker == "xla":
-        stripes, W, _, _ = dirs.shape
-        spw = 32 // bits_per_cell(algorithm)
-        t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
-        walk = functools.partial(_device_walk, algorithm, params, dirs,
-                                 *args, stripe_s)
-    else:
-        raise ValueError(f"unknown walker {walker!r}")
-    for _ in range(32):  # 2**32x the M+N budget is unreachable
-        packed, t = walk(t_max)
-        t = int(t)
-        if t < t_max - 1:
-            return np.asarray(packed), t
-        t_max *= 2
-    raise RuntimeError("device walk failed to converge")  # pragma: no cover
+    jitted while_loop formulation (both byte-identical via decide_step)."""
+    return device_walk_finalize(device_walk_dispatch(
+        algorithm, params, dirs, start_row, start_col, scores, stripe_s,
+        walker=walker,
+    ))
 
 
 def moves_to_result(
@@ -400,16 +429,21 @@ def device_traceback_bucket(
     params: AlignmentParams,
     stripe_s: int,
     walker: str = "xla",
+    handle=None,
 ) -> list:
     """Full V8-style bucket traceback: device walk + host replay.
 
     `dirs` stays a device array -- only scores/starts and the packed move
     stream are ever transferred.  String assembly uses the threaded native
-    replayer (native/tpualign.cpp ta_replay_moves) when available."""
-    packed, steps = device_traceback_moves(
-        algorithm, params, dirs, srow, scol, scores, stripe_s,
-        walker=walker,
-    )
+    replayer (native/tpualign.cpp ta_replay_moves) when available.
+    `handle` accepts a walk already dispatched with device_walk_dispatch
+    (the engine pipelines walks across buckets)."""
+    if handle is None:
+        handle = device_walk_dispatch(
+            algorithm, params, dirs, srow, scol, scores, stripe_s,
+            walker=walker,
+        )
+    packed, steps = device_walk_finalize(handle)
     sc = np.asarray(scores)
     sr = np.asarray(srow)
     sj = np.asarray(scol)
