@@ -348,9 +348,11 @@ def device_walk_finalize(handle):
     the streams would otherwise be silently truncated."""
     walk, packed, t, t_max = handle
     for _ in range(32):  # 2**32x the M+N budget is unreachable
-        t = int(t)
-        if t < t_max - 1:
-            return np.asarray(packed), t
+        # one device_get for both: on a tunneled device every readback
+        # costs a full round trip (PERF.md measurement methodology)
+        packed_np, t = jax.device_get((packed, t))
+        if int(t) < t_max - 1:
+            return packed_np, int(t)
         t_max *= 2
         packed, t = walk(t_max)
     raise RuntimeError("device walk failed to converge")  # pragma: no cover
@@ -444,9 +446,8 @@ def device_traceback_bucket(
             walker=walker,
         )
     packed, steps = device_walk_finalize(handle)
-    sc = np.asarray(scores)
-    sr = np.asarray(srow)
-    sj = np.asarray(scol)
+    sc, sr, sj = jax.device_get((scores, srow, scol))
+    sc, sr, sj = np.asarray(sc), np.asarray(sr), np.asarray(sj)
     nb = bucket.num_real
     from tpu_align.native import native_replay_moves
 
