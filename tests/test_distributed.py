@@ -92,3 +92,38 @@ def test_host_shard_and_merge(tmp_path):
         r.block() for r in align_batch(Algorithm.LNW, params, list(ds.pairs()))
     )
     assert merged.read_text() == want
+
+
+def test_walk_sharded_matches_single_device():
+    """The full V8 pipeline sharded: fill + device walk both run under the
+    pairs mesh; per-lane move sequences equal the single-device walk's
+    (each shard phases independently, so raw stream positions differ)."""
+    from tpu_align.distributed import walk_sharded
+    from tpu_align.kernels.stagger import STRIPE_S
+    from tpu_align.traceback.device import (
+        device_traceback_moves, unpack_moves,
+    )
+
+    mesh = make_pairs_mesh(jax.devices()[:8])
+    params = AlignmentParams()
+    ds = synthetic_dataset(64, min_len=16, max_len=48, seed=13)
+    spec = shard_bucket_spec(mesh, BucketSpec(batch_pairs=64,
+                                              query_multiple=64))
+    for bucket in bucketize(ds, spec):
+        scores, srow, scol, dirs = fill_sharded(
+            mesh, Algorithm.LSW, params,
+            bucket.ref_tokens, bucket.qry_tokens, bucket.ref_len,
+            bucket.qry_len,
+        )
+        packed, t = walk_sharded(mesh, Algorithm.LSW, params, dirs,
+                                 srow, scol, scores, STRIPE_S)
+        px, tx = device_traceback_moves(
+            Algorithm.LSW, params, np.asarray(dirs), np.asarray(srow),
+            np.asarray(scol), np.asarray(scores), STRIPE_S, walker="xla")
+
+        def seqs(p, steps):
+            codes = unpack_moves(p, steps)
+            return [tuple(c for c in codes[:, b] if c)
+                    for b in range(codes.shape[1])]
+
+        assert seqs(packed, t) == seqs(px, tx)

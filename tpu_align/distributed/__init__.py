@@ -5,6 +5,7 @@ from tpu_align.distributed.sharding import (
     global_stats,
     make_pairs_mesh,
     shard_bucket_spec,
+    walk_sharded,
 )
 from tpu_align.distributed.multihost import (
     host_shard,
@@ -18,6 +19,7 @@ __all__ = [
     "global_stats",
     "make_pairs_mesh",
     "shard_bucket_spec",
+    "walk_sharded",
     "host_shard",
     "initialize",
     "merge_output_files",

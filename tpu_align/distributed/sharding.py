@@ -124,6 +124,59 @@ def fill_sharded(
     return outs + (None,)
 
 
+def walk_sharded(
+    mesh: Mesh,
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    dirs, start_row, start_col, scores,
+    stripe_s: int,
+):
+    """Device traceback walk, data-parallel over the `pairs` axis: each
+    chip walks its own shard of the stagger direction words (the walk is
+    per-pair independent), so the full V8 pipeline -- fill + on-device
+    walk -- runs sharded and only packed move streams leave the devices.
+
+    Each shard phases independently (like the Pallas walker's lane
+    groups), so stream POSITIONS differ across shards; per-lane move
+    sequences are the contract.  Returns (packed (T16, B) np, steps int);
+    retries with a doubled phase budget on exhaustion (pmax-reduced)."""
+    from tpu_align.kernels.fill import bits_per_cell
+    from tpu_align.traceback.device import (
+        _device_walk,
+        _walk_phase_budget,
+    )
+
+    stripes, W, _, _ = dirs.shape
+    spw = 32 // bits_per_cell(algorithm)
+    t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
+
+    def _run(t_max):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(None, None, None, PAIRS_AXIS), P(PAIRS_AXIS),
+                      P(PAIRS_AXIS), P(PAIRS_AXIS)),
+            out_specs=(P(None, PAIRS_AXIS), P()),
+            check_vma=False,
+        )
+        def _local_walk(d, sr, sc, s):
+            packed, t = _device_walk(algorithm, params, d, sr, sc, s,
+                                     stripe_s, t_max)
+            return packed, jax.lax.pmax(t, PAIRS_AXIS)
+
+        return _local_walk(dirs, jnp.asarray(start_row),
+                           jnp.asarray(start_col), jnp.asarray(scores))
+
+    import numpy as np
+
+    for _ in range(32):
+        packed, t = _run(t_max)
+        packed_np, t = jax.device_get((packed, t))
+        if int(t) < t_max - 1:
+            return np.asarray(packed_np), int(t)
+        t_max *= 2
+    raise RuntimeError("sharded walk failed to converge")  # pragma: no cover
+
+
 def global_stats(mesh: Mesh, scores, cells):
     """All-reduce run-level stats over the mesh: (max score, total cells).
 
