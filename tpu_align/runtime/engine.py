@@ -155,14 +155,29 @@ class AlignmentEngine:
         )
 
     def warmup(self, ds: PairDataset) -> None:
-        """Compile all kernel shapes this dataset needs (keeps compile time
-        out of the measured phases)."""
+        """Compile every program this dataset's run will execute (keeps
+        compile time out of the measured phases): one fill per distinct
+        bucket shape at the REAL batch shape (a different batch is a
+        different executable), plus the device-walk program when
+        traceback='device'."""
+        seen: set[tuple] = set()
         for b in bucketize(ds, self.bucket_spec):
-            small = Bucket(
-                b.ref_tokens[:8], b.qry_tokens[:8], b.ref_len[:8],
-                b.qry_len[:8], b.pair_ids[:8], min(b.num_real, 8),
-            )
-            outs = self._dispatch(small)
+            shape = (b.ref_tokens.shape, b.qry_tokens.shape)
+            if shape in seen:
+                continue
+            seen.add(shape)
+            outs = self._dispatch(b)
+            if (self.traceback_mode == "device" and self.with_traceback
+                    and outs[3] is not None):
+                from tpu_align.traceback.device import (
+                    device_walk_dispatch,
+                    device_walk_finalize,
+                )
+
+                device_walk_finalize(device_walk_dispatch(
+                    self.algorithm, self.params, outs[3], outs[1], outs[2],
+                    outs[0], STRIPE_S, walker=self.walker,
+                ))
             jax.block_until_ready([o for o in outs if o is not None])
 
     def _bucket_key(self, b: Bucket) -> str:
