@@ -197,12 +197,14 @@ def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
             algorithm, params, code, m, i, j, rem, anw_state, done
         )
         out = jax.lax.dynamic_update_slice(out, emit[None, :], (t, 0))
-        # lanes still inside row m (insertion run continues)?
-        more_this_row = jnp.logical_and(
-            jnp.logical_and(i == m, ~done), True
-        )
+        # lanes still inside row m (insertion run continues)?  Otherwise
+        # jump straight to the highest row any live lane occupies --
+        # empty rows cost no phases (local walks stop as soon as every
+        # lane is done: the masked max is 0, so m drops below 1)
+        more_this_row = jnp.logical_and(i == m, ~done)
         any_more = jnp.any(more_this_row)
-        m = jnp.where(any_more, m, m - 1)
+        live_top = jnp.max(jnp.where(done, 0, i))
+        m = jnp.where(any_more, m, jnp.minimum(m - 1, live_top))
         return m, t + 1, j, i, rem, anw_state, done, out
 
     def cond(state):
@@ -213,7 +215,8 @@ def _device_walk(algorithm, params, dirs, start_row, start_col, scores,
         done0 = rem0 <= 0
     else:
         done0 = jnp.zeros(B, bool)
-    state = (jnp.int32(M), jnp.int32(0), j0, i0, rem0,
+    m0 = jnp.minimum(jnp.int32(M), jnp.max(jnp.where(done0, 0, i0)))
+    state = (m0, jnp.int32(0), j0, i0, rem0,
              jnp.zeros(B, jnp.int32), done0, out)
     m, t, j, i, rem, anw_state, done, out = jax.lax.while_loop(
         cond, body, state
@@ -277,14 +280,17 @@ def _device_walk_banded(params, dirs, start_row, start_col, scores, t_max):
             jnp.zeros((), jnp.int32), done)
         out = jax.lax.dynamic_update_slice(out, emit[None, :], (t, 0))
         any_more = jnp.any(jnp.logical_and(i == m, ~done))
-        m = jnp.where(any_more, m, m - 1)
+        live_top = jnp.max(jnp.where(done, 0, i))
+        m = jnp.where(any_more, m, jnp.minimum(m - 1, live_top))
         return m, t + 1, j, i, rem, done, out
 
     def cond(state):
         m, t = state[0], state[1]
         return jnp.logical_and(m >= 1, t < t_max - 1)
 
-    state = (jnp.int32(M), jnp.int32(0), j0, i0, rem0, rem0 <= 0, out)
+    done0 = rem0 <= 0
+    m0 = jnp.minimum(jnp.int32(M), jnp.max(jnp.where(done0, 0, i0)))
+    state = (m0, jnp.int32(0), j0, i0, rem0, done0, out)
     m, t, j, i, rem, done, out = jax.lax.while_loop(cond, body, state)
 
     t16 = t_max // 16

@@ -114,10 +114,19 @@ def _walk_pallas_jit(algorithm, params, dirs, start_row, start_col, scores,
             emit_buf[pl.ds(t, 1), :] = emit
             more = jnp.logical_and(i == m, ~done)
             any_more = jnp.sum(more.astype(jnp.int32)) > 0
-            m = jnp.where(any_more, m, m - 1)
-            return (m, t + 1, i, j, rem, anw, done.astype(jnp.int32))
+            done32 = done.astype(jnp.int32)
+            # jump to the highest live row: empty rows cost no phases
+            live_top = jnp.max(jnp.where(done32 != 0, 0, i))
+            m = jnp.where(any_more, m, jnp.minimum(m - 1, live_top))
+            return (m, t + 1, i, j, rem, anw, done32)
 
-        state = (jnp.int32(i0 + S), t_smem[0], i_s[:, :], j_s[:, :],
+        # enter the stripe at its highest live row (0 phases if every
+        # lane's cursor is already below this stripe)
+        m0 = jnp.minimum(
+            jnp.int32(i0 + S),
+            jnp.max(jnp.where(done_s[:, :] != 0, 0, i_s[:, :])),
+        )
+        state = (m0, t_smem[0], i_s[:, :], j_s[:, :],
                  rem_s[:, :], anw_s[:, :], done_s[:, :])
         m, t, i, j, rem, anw, done = jax.lax.while_loop(cond, body, state)
         i_s[:, :] = i
