@@ -148,11 +148,13 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
 
 def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
                      algorithm="lnw", verbose=True, traceback_mode="host",
-                     walker="xla"):
+                     walker="xla", output="blocks"):
     """End-to-end engine run (fill + traceback + formatting) with the V19
     phase breakdown; emits a record consumable by
     tpu_align.utils.timing_analysis.  traceback_mode='device' exercises
-    the V8-style on-accelerator walk (only move streams transfer)."""
+    the V8-style on-accelerator walk (only move streams transfer);
+    output='blocks' uses the native block formatter (no per-pair Python
+    strings), 'records' the per-pair AlignmentResult path."""
     from tpu_align.core.params import Algorithm
     from tpu_align.io.bucketing import BucketSpec
     from tpu_align.runtime.engine import AlignmentEngine
@@ -168,12 +170,13 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         bucket_spec=BucketSpec(batch_pairs=batch_pairs, pair_multiple=128),
         traceback=traceback_mode,
         walker=walker,
+        output=output,
     )
     engine.warmup(ds)
     t0 = time.perf_counter()
     out = engine.run(ds)
     with out.timer.phase("printing"):
-        text = out.output_text()
+        data = out.output_bytes()
     total = time.perf_counter() - t0
     log(out.timer.report())
     return {
@@ -182,13 +185,15 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         "unit": "pairs/sec",
         "vs_baseline": round((num_pairs / total) / (100_000 / 0.4406), 3),
         "label": f"{algo.value}-e2e-{traceback_mode}"
-                 + (f"-{walker}" if traceback_mode == "device" else ""),
+                 + (f"-{walker}" if traceback_mode == "device" else "")
+                 + ("-records" if output == "records" else ""),
         "traceback_mode": traceback_mode,
         "walker": walker if traceback_mode == "device" else None,
+        "output": output,
         "phases": {k: round(v, 6) for k, v in out.timer.seconds.items()},
         "total_s": round(total, 4),
         "gcups_kernel_phase": round(out.gcups, 2),
-        "output_bytes": len(text),
+        "output_bytes": len(data),
         "backend": jax.default_backend(),
     }
 
@@ -217,6 +222,10 @@ def main():
                          "on-accelerator walk)")
     ap.add_argument("--walker", default="xla", choices=["xla", "pallas"],
                     help="device-walk engine for --traceback device")
+    ap.add_argument("--output", default="blocks",
+                    choices=["blocks", "records"],
+                    help="engine bench result assembly: native block "
+                         "formatter (default) or per-pair records")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one sweep to DIR")
@@ -226,7 +235,7 @@ def main():
             num_pairs=args.pairs, seq_len=args.seq_len,
             batch_pairs=args.batch, algorithm=args.algorithm,
             verbose=not args.quiet, traceback_mode=args.traceback,
-            walker=args.walker,
+            walker=args.walker, output=args.output,
         )
     else:
         result = run_bench(

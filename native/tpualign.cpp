@@ -16,6 +16,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -416,6 +417,87 @@ int ta_traceback_bucket(
   }
   for (auto& th : threads) th.join();
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Output-block formatting (the reference's per-pair printf loop,
+// c++/backtrack.cpp:205-210, vectorized): render every pair's 4-line block
+//     <pair_num> | <score>\n<ref>\n<relation>\n<query>\n
+// into one contiguous buffer.  Two-call protocol: if dst_cap is too small
+// the needed size is returned negated and nothing is written; otherwise
+// writes dst and spans (batch x 2 int64: offset, length) and returns the
+// total length.  The Python layer then orders blocks globally by pair id
+// with ta_gather_spans -- no per-pair Python strings ever exist.
+// ---------------------------------------------------------------------------
+int64_t ta_format_blocks(
+    int64_t batch, const int32_t* pair_ids, const int32_t* scores,
+    const char* out_buf, int64_t out_stride, const int32_t* out_lens,
+    char* dst, int64_t dst_cap, int64_t* spans, int num_threads) {
+  std::vector<int64_t> head(batch);
+  int64_t total = 0;
+  char scratch[64];
+  for (int64_t b = 0; b < batch; ++b) {
+    const int h = std::snprintf(scratch, sizeof scratch, "%d | %d\n",
+                                pair_ids[b], scores[b]);
+    head[b] = h;
+    spans[2 * b] = total;  // offset
+    const int64_t blk = h + 3 * (static_cast<int64_t>(out_lens[b]) + 1);
+    spans[2 * b + 1] = blk;
+    total += blk;
+  }
+  if (total > dst_cap) return -total;
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  num_threads = static_cast<int>(
+      std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
+  auto write_range = [&](int64_t lo, int64_t hi) {
+    char local[64];
+    for (int64_t b = lo; b < hi; ++b) {
+      char* d = dst + spans[2 * b];
+      std::snprintf(local, sizeof local, "%d | %d\n", pair_ids[b],
+                    scores[b]);
+      std::memcpy(d, local, head[b]);
+      d += head[b];
+      const int64_t len = out_lens[b];
+      const char* src = out_buf + b * 3 * out_stride;
+      for (int line = 0; line < 3; ++line) {
+        std::memcpy(d, src + line * out_stride, len);
+        d += len;
+        *d++ = '\n';
+      }
+    }
+  };
+  if (num_threads == 1 || batch < 256) {
+    write_range(0, batch);
+    return total;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  const int64_t chunk = (batch + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(lo + chunk, batch);
+    if (lo >= hi) break;
+    threads.emplace_back(write_range, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  return total;
+}
+
+// Concatenate spans of src in the given order (indices into spans) into
+// dst; returns the total length written (dst must be large enough --
+// the sum of the selected span lengths).
+int64_t ta_gather_spans(const char* src, const int64_t* spans,
+                        const int64_t* order, int64_t count, char* dst) {
+  int64_t at = 0;
+  for (int64_t k = 0; k < count; ++k) {
+    const int64_t b = order[k];
+    std::memcpy(dst + at, src + spans[2 * b], spans[2 * b + 1]);
+    at += spans[2 * b + 1];
+  }
+  return at;
 }
 
 // ---------------------------------------------------------------------------

@@ -153,3 +153,65 @@ def test_engine_device_traceback_matches_host(algo):
 def test_engine_device_traceback_rejects_rowscan():
     with pytest.raises(ValueError):
         AlignmentEngine(Algorithm.LNW, kernel="rowscan", traceback="device")
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_engine_blocks_output_byte_identical(algo):
+    """output='blocks' (native block formatter, no per-pair Python
+    strings) must be byte-identical to the records path -- all four
+    aligners, including zero-score local pairs (empty 3 lines)."""
+    ds = synthetic_dataset(30, min_len=6, max_len=100, seed=31)
+    rec = AlignmentEngine(algo, bucket_spec=_SPEC).run(ds)
+    blk = AlignmentEngine(algo, bucket_spec=_SPEC, output="blocks").run(ds)
+    assert blk.blocks is not None and not blk.results
+    assert blk.output_bytes() == rec.output_text().encode("ascii")
+    assert list(blk.scores()) == list(rec.scores())
+
+
+def test_engine_blocks_output_device_traceback():
+    ds = synthetic_dataset(20, min_len=4, max_len=80, seed=32)
+    rec = AlignmentEngine(
+        Algorithm.LNW, bucket_spec=_SPEC, traceback="device"
+    ).run(ds)
+    blk = AlignmentEngine(
+        Algorithm.LNW, bucket_spec=_SPEC, traceback="device", output="blocks"
+    ).run(ds)
+    assert blk.output_bytes() == rec.output_text().encode("ascii")
+
+
+def test_engine_blocks_empty_pairs_and_scores_only(tmp_path):
+    # oracle-fallback pairs (empty sides, negative scores) interleave with
+    # kernel pairs and must land in pair order in the byte stream
+    path = tmp_path / "p.txt"
+    path.write_text("0\nACGT\nAC\n1\n\nACGT\n2\nAC\n\n3\nGATTACA\nGCATGCU\n")
+    rec = align_file(path, Algorithm.LNW, bucket_spec=_SPEC)
+    blk = align_file(path, Algorithm.LNW, bucket_spec=_SPEC, output="blocks")
+    assert blk.output_bytes() == rec.output_text().encode("ascii")
+    ds = synthetic_dataset(12, min_len=5, max_len=40, seed=33)
+    rec = AlignmentEngine(
+        Algorithm.LNW, bucket_spec=_SPEC, with_traceback=False
+    ).run(ds)
+    blk = AlignmentEngine(
+        Algorithm.LNW, bucket_spec=_SPEC, with_traceback=False,
+        output="blocks",
+    ).run(ds)
+    assert blk.output_bytes() == rec.output_text().encode("ascii")
+    assert list(blk.scores()) == list(rec.scores())
+
+
+def test_engine_blocks_local_mode_all():
+    out = AlignmentEngine(
+        Algorithm.LSW, bucket_spec=_SPEC, local_mode="all", output="blocks"
+    ).run(synthetic_dataset(6, min_len=4, max_len=15, seed=35))
+    want = AlignmentEngine(
+        Algorithm.LSW, bucket_spec=_SPEC, local_mode="all"
+    ).run(synthetic_dataset(6, min_len=4, max_len=15, seed=35))
+    assert out.output_bytes() == want.output_text().encode("ascii")
+
+
+def test_engine_blocks_rejects_checkpoint(tmp_path):
+    ds = synthetic_dataset(4, min_len=5, max_len=20, seed=34)
+    with pytest.raises(ValueError):
+        AlignmentEngine(
+            Algorithm.LNW, bucket_spec=_SPEC, output="blocks"
+        ).run(ds, checkpoint_dir=str(tmp_path / "ckpt"))

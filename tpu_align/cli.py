@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "STREAM_BATCH_SIZE analogue; 0 = unbounded)")
     p.add_argument("-no-output", action="store_true",
                    help="suppress per-pair blocks; print stats only")
+    p.add_argument("-output", default="auto",
+                   choices=["auto", "records", "blocks"],
+                   help="result assembly: per-pair records or the native "
+                        "block formatter (no per-pair Python strings; "
+                        "byte-identical output).  auto = blocks unless "
+                        "-checkpoint-dir needs records")
     p.add_argument("-out", default=None, help="write output blocks to file")
     p.add_argument("-checkpoint-dir", default=None,
                    help="persist per-batch results; re-runs resume from here")
@@ -94,6 +100,9 @@ def main(argv=None) -> int:
         print("-all-paths requires a local algorithm (lsw/bsw)",
               file=sys.stderr)
         return 2
+    output = args.output
+    if output == "auto":
+        output = "records" if args.checkpoint_dir else "blocks"
     engine = AlignmentEngine(
         algorithm, params,
         bucket_spec=BucketSpec(batch_pairs=args.batch_pairs),
@@ -103,15 +112,17 @@ def main(argv=None) -> int:
         kernel=args.kernel,
         traceback=args.traceback,
         walker=args.walker,
+        output=output,
     )
     out = engine.run(ds, checkpoint_dir=args.checkpoint_dir)
     if not args.no_output:
-        text = out.output_text()
+        data = out.output_bytes()
         if args.out:
-            with open(args.out, "w") as f:
-                f.write(text)
+            with open(args.out, "wb") as f:
+                f.write(data)
         else:
-            sys.stdout.write(text)
+            sys.stdout.buffer.write(data)
+            sys.stdout.flush()
     # dataset banner + phase timers, after the blocks like the reference
     # (cuda/LNW/LinearNeedlemanWunschV19.cu:662-680)
     err = sys.stderr

@@ -2,10 +2,13 @@
 
 from tpu_align.native.binding import (
     available,
+    native_format_blocks,
+    native_gather_spans,
     native_parse_pair_bytes,
     native_replay_moves,
     native_traceback_bucket,
 )
 
-__all__ = ["available", "native_parse_pair_bytes", "native_replay_moves",
+__all__ = ["available", "native_format_blocks", "native_gather_spans",
+           "native_parse_pair_bytes", "native_replay_moves",
            "native_traceback_bucket"]

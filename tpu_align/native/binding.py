@@ -100,6 +100,27 @@ def _configure(lib) -> None:
         ctypes.POINTER(ctypes.c_int32),  # out_lens
         ctypes.c_int,                    # num_threads
     ]
+    lib.ta_format_blocks.restype = i64
+    lib.ta_format_blocks.argtypes = [
+        i64,
+        ctypes.POINTER(ctypes.c_int32),  # pair_ids
+        ctypes.POINTER(ctypes.c_int32),  # scores
+        ctypes.c_char_p,                 # out_buf
+        i64,                             # out_stride
+        ctypes.POINTER(ctypes.c_int32),  # out_lens
+        ctypes.c_char_p,                 # dst
+        i64,                             # dst_cap
+        ctypes.POINTER(i64),             # spans
+        ctypes.c_int,                    # num_threads
+    ]
+    lib.ta_gather_spans.restype = i64
+    lib.ta_gather_spans.argtypes = [
+        ctypes.c_char_p,                 # src
+        ctypes.POINTER(i64),             # spans
+        ctypes.POINTER(i64),             # order
+        i64,                             # count
+        ctypes.c_char_p,                 # dst
+    ]
     lib.ta_count_pairs.restype = i64
     lib.ta_count_pairs.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64]
     lib.ta_parse_pairs.restype = i64
@@ -219,6 +240,70 @@ def native_replay_moves(
     if rc != 0:
         raise RuntimeError(f"ta_replay_moves failed: {rc}")
     return out_buf, out_lens
+
+
+def native_format_blocks(
+    pair_ids: np.ndarray,   # (B,)
+    scores: np.ndarray,     # (B,)
+    out_buf: np.ndarray,    # (B, 3, stride) uint8
+    out_lens: np.ndarray,   # (B,)
+    num_threads: int = 0,
+):
+    """Render every pair's 4-line output block into one contiguous uint8
+    buffer (the reference's per-pair printf loop, vectorized + threaded).
+    Returns (chunk (total,) uint8, spans (B, 2) int64 offset/length) or
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = int(pair_ids.shape[0])
+    stride = out_buf.shape[2]
+    pair_ids = np.ascontiguousarray(pair_ids, np.int32)
+    scores = np.ascontiguousarray(scores, np.int32)
+    out_buf = np.ascontiguousarray(out_buf, np.uint8)
+    out_lens = np.ascontiguousarray(out_lens, np.int32)
+    spans = np.zeros((b, 2), np.int64)
+    # exact upper bound: header <= 26 bytes (two int32s + " | \n")
+    cap = int(3 * (out_lens.astype(np.int64) + 1).sum() + 26 * b)
+    chunk = np.empty(cap, np.uint8)
+    total = lib.ta_format_blocks(
+        b, _ptr(pair_ids, ctypes.c_int32), _ptr(scores, ctypes.c_int32),
+        out_buf.ctypes.data_as(ctypes.c_char_p), stride,
+        _ptr(out_lens, ctypes.c_int32),
+        chunk.ctypes.data_as(ctypes.c_char_p), cap,
+        _ptr(spans, ctypes.c_int64), num_threads,
+    )
+    if total < 0:  # pragma: no cover - cap is an exact upper bound
+        chunk = np.empty(-total, np.uint8)
+        total = lib.ta_format_blocks(
+            b, _ptr(pair_ids, ctypes.c_int32), _ptr(scores, ctypes.c_int32),
+            out_buf.ctypes.data_as(ctypes.c_char_p), stride,
+            _ptr(out_lens, ctypes.c_int32),
+            chunk.ctypes.data_as(ctypes.c_char_p), -total,
+            _ptr(spans, ctypes.c_int64), num_threads,
+        )
+    return chunk[:total], spans
+
+
+def native_gather_spans(src: np.ndarray, spans: np.ndarray,
+                        order: np.ndarray):
+    """Concatenate src spans in the given order; returns uint8 array or
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    spans = np.ascontiguousarray(spans, np.int64)
+    order = np.ascontiguousarray(order, np.int64)
+    total = int(spans[order, 1].sum())
+    dst = np.empty(total, np.uint8)
+    done = lib.ta_gather_spans(
+        src.ctypes.data_as(ctypes.c_char_p), _ptr(spans, ctypes.c_int64),
+        _ptr(order, ctypes.c_int64), order.shape[0],
+        dst.ctypes.data_as(ctypes.c_char_p),
+    )
+    assert done == total, (done, total)
+    return dst
 
 
 def native_parse_pair_bytes(data: bytes, translate_digits: bool = True):

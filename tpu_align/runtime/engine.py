@@ -31,25 +31,133 @@ from tpu_align.kernels.fill import BucketFill, fill_bucket_async
 from tpu_align.kernels.stagger import STRIPE_S, fill_stagger_bucket_async
 from tpu_align.oracle.api import align_pair
 from tpu_align.runtime.profiler import PhaseTimer
-from tpu_align.traceback.host import traceback_bucket
+from tpu_align.traceback.host import traceback_bucket, traceback_bucket_arrays
 
 
 @dataclasses.dataclass
 class EngineResult:
-    results: list[AlignmentResult]  # sorted by pair_num
+    results: list[AlignmentResult]  # sorted by pair_num (output="records")
     timer: PhaseTimer
     num_cells: int
+    # output="blocks" fast path: the fully formatted reference-format byte
+    # stream (pair order) and the matching per-pair scores; `results` is
+    # empty -- no per-pair Python objects were ever built.
+    blocks: np.ndarray | None = None       # (total_bytes,) uint8
+    pair_scores: np.ndarray | None = None  # (num_pairs,) int64, pair order
 
     @property
     def gcups(self) -> float:
         return self.timer.gcups(self.num_cells, "kernel")
 
+    def output_bytes(self) -> bytes:
+        """Reference-format output blocks as raw bytes (pair order)."""
+        if self.blocks is not None:
+            return self.blocks.tobytes()
+        return self.output_text().encode("ascii")
+
     def output_text(self) -> str:
         """Reference-format output: 4-line blocks in pair order."""
+        if self.blocks is not None:
+            return self.blocks.tobytes().decode("ascii")
         return "".join(r.block() for r in self.results)
 
     def scores(self) -> np.ndarray:
+        if self.pair_scores is not None:
+            return self.pair_scores
         return np.array([r.score for r in self.results], np.int64)
+
+
+class _BlockCollector:
+    """Accumulates formatted output blocks bucket-by-bucket (the V19
+    "print batch N-1 while kernel N runs" overlap) and assembles the
+    final pair-ordered byte stream.
+
+    The fast path never materializes per-pair Python strings: the native
+    walker / replayer hand raw (out_buf, out_lens) arrays to the threaded
+    native block formatter (native/tpualign.cpp ta_format_blocks -- the
+    reference's per-pair printf loop, c++/backtrack.cpp:205-210,
+    vectorized), and the final pair-order gather is one native pass
+    (ta_gather_spans).  Oracle-path pairs (empty sides, local_mode="all")
+    enter as AlignmentResults and are formatted in Python -- both entry
+    points produce byte-identical blocks."""
+
+    def __init__(self):
+        # (ids int64 (B,), scores int64 (B,), chunk uint8, spans int64 (B,2))
+        self.parts: list[tuple] = []
+
+    def add_arrays(self, ids, scores, out_buf, out_lens) -> None:
+        from tpu_align.native import native_format_blocks
+
+        ids = np.asarray(ids)
+        scores = np.asarray(scores)
+        nat = native_format_blocks(ids, scores, out_buf, out_lens)
+        if nat is not None:
+            chunk, spans = nat
+        else:  # pure-Python fallback (native library absent)
+            blobs = []
+            for k in range(ids.shape[0]):
+                ln = int(out_lens[k])
+                blobs.append(
+                    f"{int(ids[k])} | {int(scores[k])}\n".encode("ascii")
+                    + out_buf[k, 0, :ln].tobytes() + b"\n"
+                    + out_buf[k, 1, :ln].tobytes() + b"\n"
+                    + out_buf[k, 2, :ln].tobytes() + b"\n"
+                )
+            chunk, spans = self._spans_of(blobs)
+        self.parts.append((ids.astype(np.int64), scores.astype(np.int64),
+                           chunk, spans))
+
+    def add_scores(self, ids, scores) -> None:
+        """Scores-only blocks: header line + three empty lines (the
+        reference's V6 output shape)."""
+        n = np.asarray(ids).shape[0]
+        self.add_arrays(ids, scores, np.zeros((n, 3, 1), np.uint8),
+                        np.zeros(n, np.int32))
+
+    def add_results(self, results: list[AlignmentResult]) -> None:
+        if not results:
+            return
+        chunk, spans = self._spans_of(
+            [r.block().encode("ascii") for r in results]
+        )
+        self.parts.append((
+            np.array([r.pair_num for r in results], np.int64),
+            np.array([r.score for r in results], np.int64),
+            chunk, spans,
+        ))
+
+    @staticmethod
+    def _spans_of(blobs: list[bytes]):
+        spans = np.zeros((len(blobs), 2), np.int64)
+        at = 0
+        for k, blob in enumerate(blobs):
+            spans[k] = (at, len(blob))
+            at += len(blob)
+        return np.frombuffer(b"".join(blobs), np.uint8), spans
+
+    def finalize(self):
+        """-> (blocks uint8 byte stream, scores int64), both pair-ordered."""
+        from tpu_align.native import native_gather_spans
+
+        if not self.parts:
+            return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+        ids = np.concatenate([p[0] for p in self.parts])
+        scores = np.concatenate([p[1] for p in self.parts])
+        spans = np.vstack([p[3] for p in self.parts])
+        base = row = 0
+        for p in self.parts:
+            spans[row:row + p[3].shape[0], 0] += base
+            base += p[2].size
+            row += p[3].shape[0]
+        src = (np.concatenate([p[2] for p in self.parts])
+               if len(self.parts) > 1 else self.parts[0][2])
+        order = np.argsort(ids, kind="stable")
+        blocks = native_gather_spans(src, spans, order)
+        if blocks is None:  # pure-Python fallback
+            blocks = (np.concatenate(
+                [src[spans[b, 0]:spans[b, 0] + spans[b, 1]] for b in order]
+            ) if order.size else np.zeros(0, np.uint8))
+        return blocks, scores[order]
 
 
 class AlignmentEngine:
@@ -71,6 +179,7 @@ class AlignmentEngine:
         kernel: str = "auto",
         traceback: str = "host",
         walker: str = "xla",
+        output: str = "records",
     ):
         """local_mode (local aligners only): "single" follows the CUDA host
         semantics (one path from the first row-major max cell); "all"
@@ -101,7 +210,15 @@ class AlignmentEngine:
         walker selects the device-walk engine for LNW/LSW/ANW:
         "xla" (jitted while_loop) or "pallas" (one Pallas program with
         the stripe slab in VMEM, traceback/walk_kernel.py).  Per-lane
-        move sequences are identical (shared decide_step)."""
+        move sequences are identical (shared decide_step).
+
+        output="blocks" skips per-pair AlignmentResult objects entirely:
+        walker output arrays feed the threaded native block formatter
+        (the reference's printf loop, c++/backtrack.cpp:205-210) and
+        EngineResult carries one pair-ordered byte stream
+        (EngineResult.blocks / output_bytes()) -- byte-identical to the
+        "records" text but with no Python-string printing cost.
+        Incompatible with checkpoint_dir (which persists records)."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
@@ -128,6 +245,9 @@ class AlignmentEngine:
         if walker not in ("xla", "pallas"):
             raise ValueError(f"unknown walker {walker!r}")
         self.walker = walker
+        if output not in ("records", "blocks"):
+            raise ValueError(f"unknown output mode {output!r}")
+        self.output = output
 
     def _oracle_fallback(self, ds: PairDataset, i: int) -> AlignmentResult:
         ref, qry = ds.pair(i)
@@ -224,7 +344,13 @@ class AlignmentEngine:
         batching makes batches independently restartable in principle but
         persists nothing, SURVEY.md section 5 "Checkpoint / resume")."""
         timer = PhaseTimer()
+        collector = _BlockCollector() if self.output == "blocks" else None
         if checkpoint_dir:
+            if collector is not None:
+                raise ValueError(
+                    "checkpoint_dir requires output='records' (checkpoints "
+                    "persist per-pair records)"
+                )
             os.makedirs(checkpoint_dir, exist_ok=True)
         if self.local_mode == "all":
             # BACKTRACK_ALL needs the full score matrix per pair; every
@@ -236,6 +362,12 @@ class AlignmentEngine:
                     results.append(self._oracle_fallback(ds, i))
             with timer.phase("printing"):
                 results.sort(key=lambda r: r.pair_num)
+                if collector is not None:
+                    collector.add_results(results)
+                    blocks, pair_scores = collector.finalize()
+                    return EngineResult([], timer, ds.num_cells,
+                                        blocks=blocks,
+                                        pair_scores=pair_scores)
             return EngineResult(results, timer, ds.num_cells)
         # pairs with an empty side cannot enter the kernel (no DP interior);
         # they fall back to the oracle
@@ -302,16 +434,37 @@ class AlignmentEngine:
                 # there and only packed 2-bit move streams transfer
                 from tpu_align.traceback.device import (
                     device_traceback_bucket,
+                    device_traceback_bucket_arrays,
                 )
 
                 with timer.phase("kernel"):
                     np.asarray(scores)  # block on this bucket's fill
                 with timer.phase("backtrack"):
-                    bucket_results = device_traceback_bucket(
-                        self.algorithm, b, scores, srow, scol, dirs,
-                        self.params, STRIPE_S, walker=self.walker,
-                        handle=handle,
-                    )
+                    if collector is not None:
+                        out = device_traceback_bucket_arrays(
+                            self.algorithm, b, scores, srow, scol, dirs,
+                            self.params, STRIPE_S, walker=self.walker,
+                            handle=handle,
+                        )
+                    else:
+                        out = device_traceback_bucket(
+                            self.algorithm, b, scores, srow, scol, dirs,
+                            self.params, STRIPE_S, walker=self.walker,
+                            handle=handle,
+                        )
+                if collector is not None:
+                    with timer.phase("printing"):
+                        if isinstance(out, list):  # native replay absent
+                            collector.add_results(out)
+                        else:
+                            sc, out_buf, out_lens = out
+                            collector.add_arrays(
+                                b.pair_ids[:b.num_real], sc, out_buf,
+                                out_lens,
+                            )
+                    _top_up()
+                    continue
+                bucket_results = out
                 results.extend(bucket_results)
                 if checkpoint_dir:
                     with timer.phase("printing"):
@@ -333,6 +486,30 @@ class AlignmentEngine:
                     stagger=(STRIPE_S if (self.kernel == "stagger"
                                           and not is_bsw) else None),
                 )
+            if collector is not None:
+                nb = b.num_real
+                if self.with_traceback:
+                    with timer.phase("backtrack"):
+                        arrays = traceback_bucket_arrays(
+                            self.algorithm, b, fill, self.params
+                        )
+                    with timer.phase("printing"):
+                        if arrays is not None:
+                            collector.add_arrays(
+                                b.pair_ids[:nb], fill.scores[:nb], *arrays
+                            )
+                        else:  # native walker absent: Python walk
+                            collector.add_results(traceback_bucket(
+                                self.algorithm, b, fill, self.params,
+                                use_native=False,
+                            ))
+                else:
+                    with timer.phase("printing"):
+                        collector.add_scores(
+                            b.pair_ids[:nb], fill.scores[:nb]
+                        )
+                _top_up()
+                continue
             with timer.phase("backtrack"):
                 if self.with_traceback:
                     bucket_results = traceback_bucket(
@@ -359,6 +536,11 @@ class AlignmentEngine:
             for i in empty_idx:
                 results.append(self._oracle_fallback(ds, int(i)))
         with timer.phase("printing"):
+            if collector is not None:
+                collector.add_results(results)  # oracle-fallback pairs only
+                blocks, pair_scores = collector.finalize()
+                return EngineResult([], timer, ds.num_cells, blocks=blocks,
+                                    pair_scores=pair_scores)
             results.sort(key=lambda r: r.pair_num)
         return EngineResult(results, timer, ds.num_cells)
 

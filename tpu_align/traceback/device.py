@@ -430,7 +430,7 @@ def moves_to_result(
     )
 
 
-def device_traceback_bucket(
+def device_traceback_bucket_arrays(
     algorithm: Algorithm,
     bucket,
     scores, srow, scol, dirs,
@@ -438,14 +438,20 @@ def device_traceback_bucket(
     stripe_s: int,
     walker: str = "xla",
     handle=None,
-) -> list:
-    """Full V8-style bucket traceback: device walk + host replay.
+):
+    """V8-style bucket traceback returning raw output ARRAYS.
+
+    Returns (scores (nb,) int32, out_buf (nb, 3, stride) uint8,
+    out_lens (nb,) int32) -- the engine's no-Python-strings output path
+    feeds these straight to the native block formatter
+    (native/tpualign.cpp ta_format_blocks).  When the native replayer is
+    unavailable, falls back to returning the plain
+    list[AlignmentResult] instead (callers dispatch on type).
 
     `dirs` stays a device array -- only scores/starts and the packed move
-    stream are ever transferred.  String assembly uses the threaded native
-    replayer (native/tpualign.cpp ta_replay_moves) when available.
-    `handle` accepts a walk already dispatched with device_walk_dispatch
-    (the engine pipelines walks across buckets)."""
+    stream are ever transferred.  `handle` accepts a walk already
+    dispatched with device_walk_dispatch (the engine pipelines walks
+    across buckets)."""
     if handle is None:
         handle = device_walk_dispatch(
             algorithm, params, dirs, srow, scol, scores, stripe_s,
@@ -463,18 +469,10 @@ def device_traceback_bucket(
     )
     if nat is not None:
         out_buf, out_lens = nat
-        return [
-            AlignmentResult(
-                int(bucket.pair_ids[row]), int(sc[row]),
-                out_buf[row, 0, :out_lens[row]].tobytes().decode("ascii"),
-                out_buf[row, 1, :out_lens[row]].tobytes().decode("ascii"),
-                out_buf[row, 2, :out_lens[row]].tobytes().decode("ascii"),
-            )
-            for row in range(nb)
-        ]
+        return sc[:nb], out_buf, out_lens
     codes = unpack_moves(packed, steps)
     results = []
-    for row in range(bucket.num_real):
+    for row in range(nb):
         pair_num = int(bucket.pair_ids[row])
         rlen = int(bucket.ref_len[row])
         qlen = int(bucket.qry_len[row])
@@ -487,6 +485,40 @@ def device_traceback_bucket(
             )
         )
     return results
+
+
+def device_traceback_bucket(
+    algorithm: Algorithm,
+    bucket,
+    scores, srow, scol, dirs,
+    params: AlignmentParams,
+    stripe_s: int,
+    walker: str = "xla",
+    handle=None,
+) -> list:
+    """Full V8-style bucket traceback: device walk + host replay.
+
+    `dirs` stays a device array -- only scores/starts and the packed move
+    stream are ever transferred.  String assembly uses the threaded native
+    replayer (native/tpualign.cpp ta_replay_moves) when available.
+    `handle` accepts a walk already dispatched with device_walk_dispatch
+    (the engine pipelines walks across buckets)."""
+    out = device_traceback_bucket_arrays(
+        algorithm, bucket, scores, srow, scol, dirs, params, stripe_s,
+        walker=walker, handle=handle,
+    )
+    if isinstance(out, list):
+        return out
+    sc, out_buf, out_lens = out
+    return [
+        AlignmentResult(
+            int(bucket.pair_ids[row]), int(sc[row]),
+            out_buf[row, 0, :out_lens[row]].tobytes().decode("ascii"),
+            out_buf[row, 1, :out_lens[row]].tobytes().decode("ascii"),
+            out_buf[row, 2, :out_lens[row]].tobytes().decode("ascii"),
+        )
+        for row in range(bucket.num_real)
+    ]
 
 
 def unpack_moves(packed: np.ndarray, steps: int) -> np.ndarray:

@@ -222,15 +222,18 @@ def traceback_bucket(
     return results
 
 
-def _native_traceback(
+def traceback_bucket_arrays(
     algorithm: Algorithm, bucket: Bucket, fill: BucketFill,
     params: AlignmentParams,
-) -> list[AlignmentResult] | None:
-    """Bucket walk via native/libtpualign.so; None if unavailable."""
+):
+    """Native bucket walk returning raw (out_buf (B,3,stride) uint8,
+    out_lens) arrays -- the engine's no-Python-strings fast path feeds
+    these straight to the native block formatter.  None if the native
+    library is unavailable."""
     from tpu_align.native import native_traceback_bucket
 
     nb = bucket.num_real
-    out = native_traceback_bucket(
+    return native_traceback_bucket(
         algorithm.value,
         fill.dirs, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
         bucket.ref_len[:nb], bucket.qry_len[:nb],
@@ -240,11 +243,19 @@ def _native_traceback(
         bits=bits_per_cell(algorithm),
         match=params.match, mismatch=params.mismatch, gap=params.gap,
     )
+
+
+def _native_traceback(
+    algorithm: Algorithm, bucket: Bucket, fill: BucketFill,
+    params: AlignmentParams,
+) -> list[AlignmentResult] | None:
+    """Bucket walk via native/libtpualign.so; None if unavailable."""
+    out = traceback_bucket_arrays(algorithm, bucket, fill, params)
     if out is None:
         return None
     out_buf, out_lens = out
     results = []
-    for row in range(nb):
+    for row in range(bucket.num_real):
         ln = int(out_lens[row])
         results.append(
             AlignmentResult(
