@@ -11,6 +11,7 @@ run --algorithm bsw
 run --algorithm bsw --scores-only
 run --pairs 1536 --len 2048 --batch 1536
 run --engine --pairs 20000
+run --engine --pairs 20000 --output records
 run --engine --pairs 20000 --traceback device
 run --engine --pairs 20000 --traceback device --walker pallas
 run --engine --pairs 20000 --algorithm bsw --traceback device

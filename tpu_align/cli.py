@@ -54,10 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "every max cell (the CPU BACKTRACK_ALL switch, "
                         "c++/LinearSmithWaterman.h:9; oracle path, no "
                         "kernels)")
-    p.add_argument("-traceback", default="host", choices=["host", "device"],
+    p.add_argument("-traceback", default="host",
+                   choices=["host", "device", "hirschberg"],
                    help="walk packed directions on the host (threaded "
-                        "native walker) or on the accelerator (V8-style; "
-                        "only move streams transfer)")
+                        "native walker), on the accelerator (V8-style; "
+                        "only move streams transfer), or store no "
+                        "directions at all (hirschberg: O(M+N)-memory "
+                        "recompute for very long pairs; lnw/lsw)")
     p.add_argument("-walker", default="xla", choices=["xla", "pallas"],
                    help="device-walk engine for -traceback device "
                         "(lnw/lsw/anw): jitted while_loop or the Pallas "

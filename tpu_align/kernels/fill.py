@@ -228,7 +228,8 @@ def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
 
 
 def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
-                 with_traceback: bool, score_dtype=jnp.int32, unroll=None):
+                 with_traceback: bool, score_dtype=jnp.int32, unroll=None,
+                 emit_last_row: bool = False):
     is_local = algo.is_local
     is_affine = algo.is_affine
     band = p.band
@@ -237,17 +238,23 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
     bits = bits_per_cell(algo)
     rps = rows_per_word(algo)  # rows per grid step = cells per dir word
     unroll = unroll or rps
+    assert not (emit_last_row and is_local), "last-row mode is global-only"
 
     def kernel(ref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
-        if with_traceback:
-            dirs_ref, *scratch = rest
-        else:
-            dirs_ref, scratch = None, list(rest)
+        rest = list(rest)
+        dirs_ref = rest.pop(0) if with_traceback else None
+        hlast_ref = rest.pop(0) if emit_last_row else None
+        flast_ref = rest.pop(0) if (emit_last_row and is_affine) else None
+        scratch = rest
         if is_affine:
-            prev_s, f_s, final_s, best_s, brow_s, bcol_s = scratch
+            if emit_last_row:
+                prev_s, f_s, final_s, ffin_s, best_s, brow_s, bcol_s = scratch
+            else:
+                prev_s, f_s, final_s, best_s, brow_s, bcol_s = scratch
+                ffin_s = None
         else:
             prev_s, final_s, best_s, brow_s, bcol_s = scratch
-            f_s = None
+            f_s = ffin_s = None
         mw = pl.program_id(1)
         num_mw = pl.num_programs(1)
         shape = (n_cols, tile_p)
@@ -271,6 +278,8 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
                 f_s[:, :] = jnp.full(shape, neg, sdt)
             else:
                 prev_s[:, :] = jnp.zeros(shape, sdt)  # H[0][j] = j*gap
+            if ffin_s is not None:
+                ffin_s[:, :] = jnp.full(shape, neg, sdt)
             final_s[:, :] = jnp.zeros(shape, sdt)
             best_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
@@ -278,6 +287,7 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
 
         prev = prev_s[:, :]
         f_prev = f_s[:, :] if is_affine else None
+        ffin = ffin_s[:, :] if ffin_s is not None else None
         final_row = final_s[:, :]
         best, brow, bcol = best_s[:, :], brow_s[:, :], bcol_s[:, :]
         acc = jnp.zeros(shape, jnp.int32)
@@ -295,11 +305,14 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             return ((i - 1) * g).astype(sdt), (i * g).astype(sdt)
 
         def row_step(r, carry):
-            if is_affine:
+            if is_affine and emit_last_row:
+                prev, f_prev, final_row, ffin, best, brow, bcol, acc = carry
+            elif is_affine:
                 prev, f_prev, final_row, best, brow, bcol, acc = carry
+                ffin = None
             else:
                 prev, final_row, best, brow, bcol, acc = carry
-                f_prev = None
+                f_prev = ffin = None
             i = mw * rps + r + 1  # 1-based DP row (traced scalar)
             qi = qry_ref[pl.ds(r, 1), :].astype(jnp.int32)  # (1, P)
             b_prev, b_cur = borders(i)
@@ -347,9 +360,13 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
                 bcol = jnp.where(upd, row_col + 1, bcol)
             else:
                 final_row = jnp.where(row_valid, row, final_row)
+                if ffin is not None:
+                    ffin = jnp.where(row_valid, f_prev, ffin)
 
             if with_traceback:
                 acc = acc | (d4 << (bits * r))
+            if is_affine and emit_last_row:
+                return row, f_prev, final_row, ffin, best, brow, bcol, acc
             if is_affine:
                 return row, f_prev, final_row, best, brow, bcol, acc
             return row, final_row, best, brow, bcol, acc
@@ -363,13 +380,17 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
                 carry = row_step(q * unroll + sub, carry)
             return carry
 
-        if is_affine:
+        if is_affine and emit_last_row:
+            carry = (prev, f_prev, final_row, ffin, best, brow, bcol, acc)
+        elif is_affine:
             carry = (prev, f_prev, final_row, best, brow, bcol, acc)
         else:
             carry = (prev, final_row, best, brow, bcol, acc)
         assert rps % unroll == 0, (rps, unroll)
         carry = jax.lax.fori_loop(0, rps // unroll, block_step, carry)
-        if is_affine:
+        if is_affine and emit_last_row:
+            prev, f_prev, final_row, ffin, best, brow, bcol, acc = carry
+        elif is_affine:
             prev, f_prev, final_row, best, brow, bcol, acc = carry
         else:
             prev, final_row, best, brow, bcol, acc = carry
@@ -383,6 +404,8 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
         prev_s[:, :] = prev
         if is_affine:
             f_s[:, :] = f_prev
+        if ffin_s is not None:
+            ffin_s[:, :] = ffin
         final_s[:, :] = final_row
         best_s[:, :] = best
         brow_s[:, :] = brow
@@ -390,6 +413,12 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
 
         @pl.when(mw == num_mw - 1)
         def _emit():
+            if emit_last_row:
+                # H[qlen][j] at sublane j-1 (rank restored from G-space);
+                # the j = 0 border is analytic on the host
+                hlast_ref[:, :] = (final_row + jg).astype(jnp.int32)
+                if is_affine:
+                    flast_ref[:, :] = (ffin + jg).astype(jnp.int32)
             if is_local:
                 score, srow, scol = best, brow, bcol
             else:
@@ -452,9 +481,10 @@ def _pad_batch(b):
 
 
 @functools.partial(jax.jit, static_argnames=("algorithm", "params",
-                                             "with_traceback", "interpret"))
+                                             "with_traceback", "interpret",
+                                             "emit_last_row"))
 def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
-              with_traceback=True, interpret=False):
+              with_traceback=True, interpret=False, emit_last_row=False):
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     assert n % 128 == 0 and m % ROWS_PER_STEP == 0, (b, m, n)
@@ -484,7 +514,8 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     # would not raise throughput; a vreg already holds 1024 SIMD lanes.
     sdt = jnp.int32
     kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback,
-                          score_dtype=sdt, unroll=4 if interpret else None)
+                          score_dtype=sdt, unroll=4 if interpret else None,
+                          emit_last_row=emit_last_row)
     # device layout: pairs on lanes -> transpose host-major (B, *) arrays
     ref_t = ref_tokens.astype(jnp.int32).T  # (N, B)
     qry_t = qry_tokens.astype(jnp.int32).T  # (M, B)
@@ -500,6 +531,13 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
             pl.BlockSpec((1, tile_p, n), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM)
         )
+    n_lastrows = (2 if algorithm.is_affine else 1) if emit_last_row else 0
+    for _ in range(n_lastrows):
+        out_shape.append(jax.ShapeDtypeStruct((n, b), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((n, tile_p), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
     in_specs = [
         pl.BlockSpec((n, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((rps, tile_p), lambda i, j: (j, i),
@@ -510,8 +548,10 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     scratch_shapes = [pltpu.VMEM((n, tile_p), sdt)]  # prev H row
     if algorithm.is_affine:
         scratch_shapes.append(pltpu.VMEM((n, tile_p), sdt))  # prev F row
+    scratch_shapes.append(pltpu.VMEM((n, tile_p), sdt))  # captured final row
+    if emit_last_row and algorithm.is_affine:
+        scratch_shapes.append(pltpu.VMEM((n, tile_p), sdt))  # captured F row
     scratch_shapes += [
-        pltpu.VMEM((n, tile_p), sdt),        # captured final row
         pltpu.VMEM((1, tile_p), jnp.int32),  # local best
         pltpu.VMEM((1, tile_p), jnp.int32),  # local best row
         pltpu.VMEM((1, tile_p), jnp.int32),  # local best col
@@ -541,6 +581,10 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     meta = outs[0]
     # dirs stay batch-padded ((MW, B_padded, N)); consumers index real rows
     dirs = outs[1] if with_traceback else None
+    if emit_last_row:
+        hlast = outs[1]  # (N, B_padded): H[qlen][j] at sublane j-1
+        flast = outs[2] if algorithm.is_affine else None
+        return meta[0, :], meta[1, :], meta[2, :], hlast, flast
     return meta[0, :], meta[1, :], meta[2, :], dirs
 
 
@@ -571,6 +615,40 @@ def fill_bucket_async(
         jnp.asarray(ref_len), jnp.asarray(qry_len),
         with_traceback=with_traceback, interpret=interpret,
     )
+
+
+def fill_last_rows_async(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    ref_tokens,
+    qry_tokens,
+    ref_len,
+    qry_len,
+    interpret: bool | None = None,
+):
+    """Scores-only fill that also emits the DP matrix's LAST ROW per pair:
+    H[qlen][j] for j = 1..N at sublane j-1 of an (N, B) output (plus the
+    Gotoh F[qlen][j] row for affine -- the Myers-Miller split needs both).
+    This is the primitive the Hirschberg divide-and-conquer traceback
+    (tpu_align/traceback/hirschberg.py) is built on: no direction tensor
+    exists in any memory.  Global aligners only (LNW/ANW).
+
+    Returns (scores, hlast, flast_or_None) as async JAX arrays; the j = 0
+    border column is analytic (qlen*gap, resp. gap_open + qlen*gap_extend).
+    """
+    if algorithm.is_local:
+        raise ValueError("last-row fill is global-only (LNW/ANW)")
+    if algorithm.is_affine and params.gap_open > 0:
+        raise ValueError("ANW kernel requires gap_open <= 0")
+    if interpret is None:
+        interpret = _default_interpret()
+    scores, _, _, hlast, flast = _fill_jit(
+        algorithm, params,
+        jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),
+        jnp.asarray(ref_len), jnp.asarray(qry_len),
+        with_traceback=False, interpret=interpret, emit_last_row=True,
+    )
+    return scores, hlast, flast
 
 
 def fill_bucket(

@@ -207,6 +207,12 @@ class AlignmentEngine:
         the host walk.  LNW/LSW/ANW walk the stagger layout (requires
         kernel="stagger"); BSW walks the skewed banded layout.
 
+        traceback="hirschberg" (LNW/LSW) stores NO directions at all:
+        O(M+N)-memory divide-and-conquer recompute
+        (traceback/hirschberg.py) for pairs whose direction tensor cannot
+        be materialized.  Emits A co-optimal alignment (exact score), not
+        necessarily the byte-identical tie-chain path.
+
         walker selects the device-walk engine for LNW/LSW/ANW:
         "xla" (jitted while_loop) or "pallas" (one Pallas program with
         the stripe slab in VMEM, traceback/walk_kernel.py).  Per-lane
@@ -233,7 +239,7 @@ class AlignmentEngine:
         if kernel not in ("auto", "stagger", "rowscan"):
             raise ValueError(f"unknown kernel {kernel!r}")
         self.kernel = "stagger" if kernel == "auto" else kernel
-        if traceback not in ("host", "device"):
+        if traceback not in ("host", "device", "hirschberg"):
             raise ValueError(f"unknown traceback mode {traceback!r}")
         if (traceback == "device" and self.kernel != "stagger"
                 and algorithm is not Algorithm.BSW):
@@ -241,6 +247,9 @@ class AlignmentEngine:
                 "traceback='device' requires the stagger kernel "
                 "(LNW/LSW/ANW) or the banded BSW kernel"
             )
+        if traceback == "hirschberg" and algorithm not in (
+                Algorithm.LNW, Algorithm.LSW):
+            raise ValueError("traceback='hirschberg' supports LNW and LSW")
         self.traceback_mode = traceback
         if walker not in ("xla", "pallas"):
             raise ValueError(f"unknown walker {walker!r}")
@@ -360,6 +369,30 @@ class AlignmentEngine:
             with timer.phase("backtrack"):
                 for i in range(len(ds)):
                     results.append(self._oracle_fallback(ds, i))
+            with timer.phase("printing"):
+                results.sort(key=lambda r: r.pair_num)
+                if collector is not None:
+                    collector.add_results(results)
+                    blocks, pair_scores = collector.finalize()
+                    return EngineResult([], timer, ds.num_cells,
+                                        blocks=blocks,
+                                        pair_scores=pair_scores)
+            return EngineResult(results, timer, ds.num_cells)
+        if self.traceback_mode == "hirschberg" and self.with_traceback:
+            # O(M+N)-memory traceback: no direction tensor exists in any
+            # memory (traceback/hirschberg.py).  Meant for FEW, LONG pairs
+            # (each pair recurses with level-batched last-row fills); for
+            # read-scale workloads the packed-dirs modes are faster.
+            from tpu_align.traceback.hirschberg import hirschberg_align
+
+            results = []
+            with timer.phase("backtrack"):
+                for i in range(len(ds)):
+                    ref, qry = ds.pair(i)
+                    results.append(hirschberg_align(
+                        self.algorithm, self.params, ref, qry, pair_num=i,
+                        interpret=self.interpret,
+                    ))
             with timer.phase("printing"):
                 results.sort(key=lambda r: r.pair_num)
                 if collector is not None:

@@ -1,0 +1,239 @@
+"""Hirschberg divide-and-conquer traceback: alignment in O(M+N) memory.
+
+No direction tensor ever exists, in HBM or on the host: the DP fill runs
+scores-only and emits only its LAST ROW (kernels/fill.py
+fill_last_rows_async), the optimal path's crossing column at the query
+midrow is found by maximizing forward + reversed-suffix last-row sums
+(Hirschberg 1975), and the two halves recurse.  Subproblems small enough
+for the packed-direction kernels become leaves and run through the
+standard fill + traceback machinery; because every split cell lies ON an
+optimal path, the leaves' aligned lines concatenate into a full optimal
+alignment.
+
+Role: exceeds the reference (no counterpart in
+mickgordinier/DPX_GPU_Genomics_Project) -- enables pairs whose direction
+matrix cannot be materialized (a 100kbp x 100kbp pair needs 2.5 GB even at
+2 bits/cell; last rows need 400 KB) at ~2x the fill FLOPs.  The current
+fill keeps (N, 128) rows in VMEM, so the reference-side length N is capped
+(~32kbp); the query side M is unbounded.
+
+Scope: LNW exactly, LSW via endpoint discovery (two scores-only fills
+locate a co-optimal path's end and start cells; the segment between two
+max cells aligns globally at the local score).  ANW needs Myers-Miller
+boundary credits (a split landing inside a vertical gap must hand the
+halves a free gap-open at the shared boundary) which the fill does not
+parametrize yet; fill_last_rows_async already captures the Gotoh F last
+row as groundwork.  BSW is banded -- its direction storage is already
+O(M x band).
+
+Output contract: A co-optimal alignment (exact score, verified by
+re-scoring in tests).  Split-point argmax ties do not follow the
+direction-walkers' per-cell `>=` chains, so byte-equality with the
+stored-directions walk is not guaranteed (and not claimed).
+
+TPU shape discipline: every level's batched fill pads (B, N, M) to powers
+of two (floors 8/128/8) so recursion depths reuse compiled executables --
+distinct kernel shapes stay O(log^2) per pair, not O(levels x subs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_align.core.params import Algorithm, AlignmentParams
+from tpu_align.core.result import AlignmentResult
+from tpu_align.kernels.fill import fill_bucket_async, fill_last_rows_async
+
+GAP = "_"
+
+
+def _pow2_pad(x: int, floor: int) -> int:
+    n = floor
+    while n < x:
+        n *= 2
+    return n
+
+
+def _tokens(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("ascii"), np.uint8)
+
+
+def _batch_problems(probs):
+    """Pad a list of (ref_tokens, qry_tokens) into kernel-shaped arrays."""
+    b = _pow2_pad(len(probs), 8)
+    n = _pow2_pad(max(p[0].size for p in probs), 128)
+    m = _pow2_pad(max(p[1].size for p in probs), 8)
+    refs = np.zeros((b, n), np.uint8)
+    qrys = np.ones((b, m), np.uint8)  # pad token 1 never equals ref pad 0
+    rlen = np.zeros(b, np.int32)
+    qlen = np.zeros(b, np.int32)
+    for k, (r, q) in enumerate(probs):
+        refs[k, : r.size] = r
+        qrys[k, : q.size] = q
+        rlen[k] = r.size
+        qlen[k] = q.size
+    return refs, qrys, rlen, qlen
+
+
+def _split_level(params, subs, ref_t, qry_t, interpret):
+    """Split every open subproblem (qi, qj, ri, rj) at its query midrow.
+
+    One batched last-row fill serves the whole level: problem 2k is the
+    forward top half, problem 2k+1 the reversed bottom half.  Returns
+    (mids, split columns) -- the optimal path passes through
+    (mid, split) of each subproblem.
+    """
+    probs = []
+    mids = []
+    for (qi, qj, ri, rj) in subs:
+        mid = (qi + qj) // 2
+        mids.append(mid)
+        probs.append((ref_t[ri:rj], qry_t[qi:mid]))
+        probs.append((ref_t[ri:rj][::-1].copy(), qry_t[mid:qj][::-1].copy()))
+    refs, qrys, rlen, qlen = _batch_problems(probs)
+    _, hlast, _ = fill_last_rows_async(
+        Algorithm.LNW, params, refs, qrys, rlen, qlen, interpret=interpret,
+    )
+    hlast = np.asarray(hlast).astype(np.int64)  # one D2H per level
+    g = params.gap
+    splits = []
+    for k, (qi, qj, ri, rj) in enumerate(subs):
+        nn = rj - ri
+        mid = mids[k]
+        # column 0 border is analytic: H[qlen][0] = qlen * gap
+        fh = np.concatenate(([(mid - qi) * g], hlast[:nn, 2 * k]))
+        bh = np.concatenate(([(qj - mid) * g], hlast[:nn, 2 * k + 1]))
+        splits.append(ri + int(np.argmax(fh + bh[::-1])))
+    return mids, splits
+
+
+def _leaf_lines(params, leaves, ref_t, qry_t, interpret):
+    """Align every leaf segment with the standard engine (fill + packed-dirs
+    traceback) and concatenate the three lines in leaf order."""
+    from tpu_align.io.dataset import PairDataset
+    from tpu_align.runtime.engine import AlignmentEngine
+
+    pairs = []
+    out: dict[int, tuple[str, str, str]] = {}
+    for idx, (qi, qj, ri, rj) in enumerate(leaves):
+        rseg = ref_t[ri:rj].tobytes().decode("ascii")
+        qseg = qry_t[qi:qj].tobytes().decode("ascii")
+        if not rseg and not qseg:
+            out[idx] = ("", "", "")
+        elif not rseg:
+            out[idx] = (GAP * len(qseg), " " * len(qseg), qseg)
+        elif not qseg:
+            out[idx] = (rseg, " " * len(rseg), GAP * len(rseg))
+        else:
+            pairs.append((idx, rseg, qseg))
+    if pairs:
+        ds = PairDataset.from_pairs([(r, q) for _, r, q in pairs])
+        eng = AlignmentEngine(Algorithm.LNW, params, interpret=interpret)
+        res = eng.run(ds).results  # sorted by pair_num = position in pairs
+        for (idx, _, _), r in zip(pairs, res):
+            out[idx] = (r.ref_aligned, r.relation, r.query_aligned)
+    lines = [out[i] for i in range(len(leaves))]
+    return ("".join(x[0] for x in lines), "".join(x[1] for x in lines),
+            "".join(x[2] for x in lines))
+
+
+def _global_lines(params, ref_t, qry_t, leaf_q, interpret):
+    """Hirschberg recursion for a global LNW alignment of token arrays.
+
+    Level-synchronous: all open subproblems of a depth split in ONE
+    batched fill (the level's total cells halve each depth, its batch
+    doubles -- lane utilization grows as the work shrinks)."""
+    # ordered worklist; each entry is ["open"|"leaf", (qi, qj, ri, rj)]
+    def settle(seg):
+        qi, qj, ri, rj = seg
+        return "leaf" if (qj - qi <= leaf_q or rj == ri) else "open"
+
+    root = (0, qry_t.size, 0, ref_t.size)
+    items = [[settle(root), root]]
+    while any(k == "open" for k, _ in items):
+        open_idx = [i for i, (k, _) in enumerate(items) if k == "open"]
+        subs = [items[i][1] for i in open_idx]
+        mids, splits = _split_level(params, subs, ref_t, qry_t, interpret)
+        # replace back-to-front so earlier indices stay valid
+        for i, mid, js in zip(reversed(open_idx), reversed(mids),
+                              reversed(splits)):
+            qi, qj, ri, rj = items[i][1]
+            left = (qi, mid, ri, js)
+            right = (mid, qj, js, rj)
+            items[i:i + 1] = [[settle(left), left], [settle(right), right]]
+    return _leaf_lines(params, [e for _, e in items], ref_t, qry_t,
+                       interpret)
+
+
+def _local_endpoints(params, ref_t, qry_t, interpret):
+    """Locate a co-optimal local path's end and start cells with two
+    scores-only fills (forward; then reversed over the end cell's
+    prefix)."""
+    refs, qrys, rlen, qlen = _batch_problems([(ref_t, qry_t)])
+    sc, er, ec, _ = fill_bucket_async(
+        Algorithm.LSW, params, refs, qrys, rlen, qlen,
+        with_traceback=False, interpret=interpret,
+    )
+    score = int(np.asarray(sc)[0])
+    er, ec = int(np.asarray(er)[0]), int(np.asarray(ec)[0])
+    if score <= 0:
+        return score, None
+    rev = [(ref_t[:ec][::-1].copy(), qry_t[:er][::-1].copy())]
+    refs, qrys, rlen, qlen = _batch_problems(rev)
+    sc2, rr, rc, _ = fill_bucket_async(
+        Algorithm.LSW, params, refs, qrys, rlen, qlen,
+        with_traceback=False, interpret=interpret,
+    )
+    sc2, rr, rc = (int(np.asarray(x)[0]) for x in (sc2, rr, rc))
+    assert sc2 == score, (sc2, score)  # suffix max equals the global max
+    return score, (er - rr, er, ec - rc, ec)  # qry [sr:er], ref [sc:ec]
+
+
+def hirschberg_align(
+    algorithm: Algorithm,
+    params: AlignmentParams | None,
+    ref: str,
+    qry: str,
+    pair_num: int = 0,
+    leaf_q: int = 128,
+    interpret: bool | None = None,
+) -> AlignmentResult:
+    """Align one pair with NO direction storage (O(M+N) working memory).
+
+    LNW: Hirschberg over the last-row fill.  LSW: endpoint discovery (the
+    forward scores-only argmax cell is the path end; the reversed fill's
+    argmax is the start) followed by global Hirschberg on the segment
+    between them -- any global alignment of the max-cell-to-max-cell
+    segment is a co-optimal local path.  ANW/BSW: see module docstring.
+
+    leaf_q: subproblems with at most this many query rows run through the
+    standard packed-dirs fill + traceback (the recursion base case).
+    """
+    params = params or AlignmentParams()
+    if algorithm not in (Algorithm.LNW, Algorithm.LSW):
+        raise NotImplementedError(
+            "hirschberg traceback supports LNW and LSW (ANW needs "
+            "Myers-Miller boundary credits; BSW is already O(M*band))"
+        )
+    ref_t, qry_t = _tokens(ref), _tokens(qry)
+    if algorithm is Algorithm.LSW:
+        score, seg = _local_endpoints(params, ref_t, qry_t, interpret)
+        if seg is None:
+            return AlignmentResult(pair_num, score)
+        sr, er, sc, ec = seg
+        r, m, q = _global_lines(params, ref_t[sc:ec], qry_t[sr:er], leaf_q,
+                                interpret)
+        return AlignmentResult(pair_num, score, r, m, q)
+    r, m, q = _global_lines(params, ref_t, qry_t, leaf_q, interpret)
+    return AlignmentResult(pair_num, _rescore(params, r, q), r, m, q)
+
+
+def _rescore(params, ref_line: str, qry_line: str) -> int:
+    """Exact linear-gap score of an emitted alignment (sum over columns)."""
+    score = 0
+    for rc, qc in zip(ref_line, qry_line):
+        if rc == GAP or qc == GAP:
+            score += params.gap
+        else:
+            score += params.match if rc == qc else params.mismatch
+    return score
