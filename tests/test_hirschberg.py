@@ -209,17 +209,52 @@ def test_engine_hirschberg_mode():
         _check_lines(r, ref, qry)
 
 
-def test_engine_hirschberg_rejects_affine():
+def test_engine_hirschberg_rejects_banded():
     from tpu_align.runtime.engine import AlignmentEngine
 
     with pytest.raises(ValueError):
-        AlignmentEngine(Algorithm.ANW, traceback="hirschberg")
+        AlignmentEngine(Algorithm.BSW, traceback="hirschberg")
 
 
-def test_hirschberg_rejects_unsupported():
-    with pytest.raises(NotImplementedError):
-        hirschberg_align(Algorithm.ANW, AlignmentParams(), "AC", "AC",
-                         interpret=True)
+def test_hirschberg_rejects_banded():
     with pytest.raises(NotImplementedError):
         hirschberg_align(Algorithm.BSW, AlignmentParams(), "AC", "AC",
                          interpret=True)
+
+
+@pytest.mark.parametrize("go,ge", [(-4, -1), (-8, -1), (0, -1), (-2, 0)])
+def test_hirschberg_anw_exact(go, ge):
+    """Myers-Miller affine: exact optimal score for varied gap models,
+    including go=0 (openless) and ge=0 (pure-open) edges."""
+    from tpu_align.traceback.hirschberg import _rescore_affine
+
+    rnd = random.Random(go * 31 + ge)
+    p = AlignmentParams(gap_open=go, gap_extend=ge)
+    for _ in range(3):
+        ref, qry = _dna(rnd, 3, 100), _dna(rnd, 3, 100)
+        want = align_pair(Algorithm.ANW, p, ref, qry, engine="scalar")
+        got = hirschberg_align(Algorithm.ANW, p, ref, qry, leaf_q=8,
+                               interpret=True)
+        assert got.score == want.score, (ref, qry)
+        _check_lines(got, ref, qry)
+        assert (_rescore_affine(p, got.ref_aligned, got.query_aligned)
+                == want.score)
+
+
+def test_hirschberg_anw_gap_bridges():
+    """Asymmetric lengths + strong open force the split to land INSIDE
+    long vertical gaps (the type-2 Myers-Miller crossing)."""
+    from tpu_align.traceback.hirschberg import _rescore_affine
+
+    rnd = random.Random(55)
+    p = AlignmentParams(gap_open=-10, gap_extend=-1)
+    for _ in range(3):
+        ref = _dna(rnd, 5, 25, "AC")
+        qry = _dna(rnd, 80, 120, "AC")  # huge vertical-gap pressure
+        want = align_pair(Algorithm.ANW, p, ref, qry, engine="scalar")
+        got = hirschberg_align(Algorithm.ANW, p, ref, qry, leaf_q=4,
+                               interpret=True)
+        assert got.score == want.score, (ref, qry)
+        _check_lines(got, ref, qry)
+        assert (_rescore_affine(p, got.ref_aligned, got.query_aligned)
+                == want.score)

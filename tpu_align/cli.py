@@ -60,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "native walker), on the accelerator (V8-style; "
                         "only move streams transfer), or store no "
                         "directions at all (hirschberg: O(M+N)-memory "
-                        "recompute for very long pairs; lnw/lsw)")
+                        "recompute for very long pairs; lnw/lsw/anw)")
     p.add_argument("-walker", default="xla", choices=["xla", "pallas"],
                    help="device-walk engine for -traceback device "
                         "(lnw/lsw/anw): jitted while_loop or the Pallas "

@@ -175,14 +175,21 @@ def _linear_row_update(algo, p, sdt, neg, ref, qi, prev, border_prev,
 
 
 def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
-                       border_cur, is_first_row, want_dirs=True):
+                       border_cur, is_first_row, want_dirs=True,
+                       open_top=None):
     """One Gotoh row (c++/AffineNeedlemanWunsch.cpp:167-242) in G-space
     (all of H/E/F carried as X - j*gap_extend; comparisons are
     shift-invariant, and the E scan collapses to a pure prefix max).
 
+    open_top (optional (1, P) vector): gap-open cost for vertical gaps
+    STARTING at the top boundary (row 1) -- the Myers-Miller boundary
+    credit (0 = the gap continues a gap from the adjoining subproblem and
+    its open was already paid).  Defaults to gap_open.
+
     Returns (h_row, f_row, dir4), all G rows.
     """
     go, ge = sdt(p.gap_open), sdt(p.gap_extend)
+    tb = go if open_top is None else open_top
     is_match = ref == qi
     wge = jnp.where(
         is_match, sdt(p.match - p.gap_extend), sdt(p.mismatch - p.gap_extend)
@@ -193,7 +200,7 @@ def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
     ext_f = f_prev + ge
     # __vibmax tie: open >= extend -> GAP_OPEN (AffineNeedlemanWunsch.cpp)
     f_cand, f_open_wins = dpx.vibmax_s32(open_f, ext_f)
-    f_row = jnp.where(is_first_row, open_f, f_cand)
+    f_row = jnp.where(is_first_row, h_prev + ge + tb, f_cand)
     f_ext_bit = jnp.where(
         jnp.logical_or(is_first_row, f_open_wins), 0, D.BIT_F_EXTEND
     )
@@ -229,7 +236,7 @@ def _affine_row_update(p, sdt, neg, ref, qi, h_prev, f_prev, border_prev,
 
 def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
                  with_traceback: bool, score_dtype=jnp.int32, unroll=None,
-                 emit_last_row: bool = False):
+                 emit_last_row: bool = False, has_open_top: bool = False):
     is_local = algo.is_local
     is_affine = algo.is_affine
     band = p.band
@@ -239,9 +246,12 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
     rps = rows_per_word(algo)  # rows per grid step = cells per dir word
     unroll = unroll or rps
     assert not (emit_last_row and is_local), "last-row mode is global-only"
+    assert not (has_open_top and not is_affine), "open_top is affine-only"
 
-    def kernel(ref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
+    def kernel(ref_ref, qry_ref, rlen_ref, qlen_ref, *rest):
         rest = list(rest)
+        topen_ref = rest.pop(0) if has_open_top else None
+        meta_ref = rest.pop(0)
         dirs_ref = rest.pop(0) if with_traceback else None
         hlast_ref = rest.pop(0) if emit_last_row else None
         flast_ref = rest.pop(0) if (emit_last_row and is_affine) else None
@@ -292,15 +302,21 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
         best, brow, bcol = best_s[:, :], brow_s[:, :], bcol_s[:, :]
         acc = jnp.zeros(shape, jnp.int32)
 
+        topen = (topen_ref[0:1, :].astype(sdt)
+                 if topen_ref is not None else None)
+
         def borders(i):
             """(H[i-1][0], H[i][0]) for 1-based (traced) row i."""
             if is_local:
                 return sdt(0), sdt(0)
             if is_affine:
                 go, ge = jnp.int32(p.gap_open), jnp.int32(p.gap_extend)
-                # H[0][0] = 0; H[i][0] = go + i*ge for i >= 1
-                return (jnp.where(i == 1, 0, go + (i - 1) * ge).astype(sdt),
-                        (go + i * ge).astype(sdt))
+                # H[0][0] = 0; H[i][0] = tb + i*ge for i >= 1 (the border
+                # column is a vertical gap starting at the top boundary,
+                # so it opens at the Myers-Miller credit when one is set)
+                tb = go if topen is None else topen
+                return (jnp.where(i == 1, 0, tb + (i - 1) * ge).astype(sdt),
+                        (tb + i * ge).astype(sdt))
             g = jnp.int32(p.gap)
             return ((i - 1) * g).astype(sdt), (i * g).astype(sdt)
 
@@ -328,7 +344,7 @@ def _make_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int, tile_p: int,
             if is_affine:
                 row, f_prev, d4 = _affine_row_update(
                     p, sdt, neg, ref, qi, prev, f_prev, b_prev, b_cur,
-                    i == 1, want_dirs=with_traceback
+                    i == 1, want_dirs=with_traceback, open_top=topen,
                 )
             else:
                 row, d4 = _linear_row_update(
@@ -484,7 +500,8 @@ def _pad_batch(b):
                                              "with_traceback", "interpret",
                                              "emit_last_row"))
 def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
-              with_traceback=True, interpret=False, emit_last_row=False):
+              with_traceback=True, interpret=False, emit_last_row=False,
+              open_top=None):
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     assert n % 128 == 0 and m % ROWS_PER_STEP == 0, (b, m, n)
@@ -497,6 +514,8 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
                              constant_values=1)
         ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
         qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
+        if open_top is not None:
+            open_top = jnp.pad(open_top.reshape(-1), (0, bp - b))
         b = bp
     tile_p = TILE_P if not interpret else (TILE_P if b % TILE_P == 0 else b)
     rps = rows_per_word(algorithm)
@@ -515,7 +534,8 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     sdt = jnp.int32
     kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback,
                           score_dtype=sdt, unroll=4 if interpret else None,
-                          emit_last_row=emit_last_row)
+                          emit_last_row=emit_last_row,
+                          has_open_top=open_top is not None)
     # device layout: pairs on lanes -> transpose host-major (B, *) arrays
     ref_t = ref_tokens.astype(jnp.int32).T  # (N, B)
     qry_t = qry_tokens.astype(jnp.int32).T  # (M, B)
@@ -545,6 +565,13 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_p), lambda i, j: (0, i), memory_space=pltpu.VMEM),
     ]
+    inputs = [ref_t, qry_t, rlen_t, qlen_t]
+    if open_top is not None:
+        inputs.append(open_top.reshape(1, b).astype(jnp.int32))
+        in_specs.append(
+            pl.BlockSpec((1, tile_p), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
     scratch_shapes = [pltpu.VMEM((n, tile_p), sdt)]  # prev H row
     if algorithm.is_affine:
         scratch_shapes.append(pltpu.VMEM((n, tile_p), sdt))  # prev F row
@@ -577,7 +604,7 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         cost_estimate=cost,
-    )(ref_t, qry_t, rlen_t, qlen_t)
+    )(*inputs)
     meta = outs[0]
     # dirs stay batch-padded ((MW, B_padded, N)); consumers index real rows
     dirs = outs[1] if with_traceback else None
@@ -625,6 +652,7 @@ def fill_last_rows_async(
     ref_len,
     qry_len,
     interpret: bool | None = None,
+    open_top=None,
 ):
     """Scores-only fill that also emits the DP matrix's LAST ROW per pair:
     H[qlen][j] for j = 1..N at sublane j-1 of an (N, B) output (plus the
@@ -634,12 +662,19 @@ def fill_last_rows_async(
     exists in any memory.  Global aligners only (LNW/ANW).
 
     Returns (scores, hlast, flast_or_None) as async JAX arrays; the j = 0
-    border column is analytic (qlen*gap, resp. gap_open + qlen*gap_extend).
+    border column is analytic (qlen*gap, resp. open_top + qlen*gap_extend).
+
+    open_top (affine only, optional (B,) int32): per-pair gap-open cost
+    for vertical gaps starting at the TOP boundary -- the Myers-Miller
+    boundary credit (0 = the adjoining subproblem already opened the
+    bridged gap).  Defaults to gap_open.
     """
     if algorithm.is_local:
         raise ValueError("last-row fill is global-only (LNW/ANW)")
     if algorithm.is_affine and params.gap_open > 0:
         raise ValueError("ANW kernel requires gap_open <= 0")
+    if open_top is not None and not algorithm.is_affine:
+        raise ValueError("open_top is affine-only")
     if interpret is None:
         interpret = _default_interpret()
     scores, _, _, hlast, flast = _fill_jit(
@@ -647,6 +682,7 @@ def fill_last_rows_async(
         jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),
         jnp.asarray(ref_len), jnp.asarray(qry_len),
         with_traceback=False, interpret=interpret, emit_last_row=True,
+        open_top=None if open_top is None else jnp.asarray(open_top),
     )
     return scores, hlast, flast
 

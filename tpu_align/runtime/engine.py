@@ -207,7 +207,7 @@ class AlignmentEngine:
         the host walk.  LNW/LSW/ANW walk the stagger layout (requires
         kernel="stagger"); BSW walks the skewed banded layout.
 
-        traceback="hirschberg" (LNW/LSW) stores NO directions at all:
+        traceback="hirschberg" (LNW/LSW/ANW) stores NO directions at all:
         O(M+N)-memory divide-and-conquer recompute
         (traceback/hirschberg.py) for pairs whose direction tensor cannot
         be materialized.  Emits A co-optimal alignment (exact score), not
@@ -247,9 +247,11 @@ class AlignmentEngine:
                 "traceback='device' requires the stagger kernel "
                 "(LNW/LSW/ANW) or the banded BSW kernel"
             )
-        if traceback == "hirschberg" and algorithm not in (
-                Algorithm.LNW, Algorithm.LSW):
-            raise ValueError("traceback='hirschberg' supports LNW and LSW")
+        if traceback == "hirschberg" and algorithm is Algorithm.BSW:
+            raise ValueError(
+                "traceback='hirschberg' supports LNW/LSW/ANW (BSW "
+                "direction storage is already O(M*band))"
+            )
         self.traceback_mode = traceback
         if walker not in ("xla", "pallas"):
             raise ValueError(f"unknown walker {walker!r}")

@@ -17,13 +17,13 @@ matrix cannot be materialized (a 100kbp x 100kbp pair needs 2.5 GB even at
 fill keeps (N, 128) rows in VMEM, so the reference-side length N is capped
 (~32kbp); the query side M is unbounded.
 
-Scope: LNW exactly, LSW via endpoint discovery (two scores-only fills
-locate a co-optimal path's end and start cells; the segment between two
-max cells aligns globally at the local score).  ANW needs Myers-Miller
-boundary credits (a split landing inside a vertical gap must hand the
-halves a free gap-open at the shared boundary) which the fill does not
-parametrize yet; fill_last_rows_async already captures the Gotoh F last
-row as groundwork.  BSW is banded -- its direction storage is already
+Scope: LNW exactly; ANW via Myers-Miller (1988) -- the split also
+considers crossing the midrow INSIDE a vertical gap using the captured
+Gotoh F last rows, with per-pair boundary gap-open credits
+(fill_last_rows_async open_top) threading through the recursion; LSW via
+endpoint discovery (two scores-only fills locate a co-optimal path's end
+and start cells; the segment between two max cells aligns globally at
+the local score).  BSW is banded -- its direction storage is already
 O(M x band).
 
 Output contract: A co-optimal alignment (exact score, verified by
@@ -165,6 +165,154 @@ def _global_lines(params, ref_t, qry_t, leaf_q, interpret):
                        interpret)
 
 
+# ---------------------------------------------------------------------------
+# Myers-Miller (affine gaps): Hirschberg with boundary gap credits
+# ---------------------------------------------------------------------------
+
+
+def _one_row_lines(params, rseg, qc, tb, te):
+    """Optimal single-query-row alignment under boundary credits (the
+    Myers-Miller M == 1 base case): either the query char takes a diagonal
+    at some column k (horizontal gap runs on both sides), or the whole row
+    is one vertical gap move opening at the better credit."""
+    go, ge = params.gap_open, params.gap_extend
+
+    def gap(x):
+        return 0 if x == 0 else go + x * ge
+
+    n = rseg.size
+    k = np.arange(n)
+    w = np.where(rseg == qc, params.match, params.mismatch)
+    left = np.where(k == 0, 0, go + k * ge)
+    right_len = n - 1 - k
+    right = np.where(right_len == 0, 0, go + right_len * ge)
+    diag = left + w + right
+    vert = gap(n) + max(tb, te) + ge
+    rstr = rseg.tobytes().decode("ascii")
+    qch = chr(qc)
+    if diag.size and diag.max() >= vert:
+        kk = int(np.argmax(diag))
+        rel = "*" if rseg[kk] == qc else "|"
+        return (rstr,
+                " " * kk + rel + " " * (n - 1 - kk),
+                GAP * kk + qch + GAP * (n - 1 - kk))
+    # vertical: place the deleted row at the credited boundary so the gap
+    # merges with the adjoining subproblem's gap run
+    if te >= tb:
+        return rstr + GAP, " " * (n + 1), GAP * n + qch
+    return GAP + rstr, " " * (n + 1), qch + GAP * n
+
+
+def _affine_split_level(params, subs, ref_t, qry_t, interpret):
+    """Myers-Miller split for every open (qi, qj, ri, rj, tb, te).
+
+    One batched credited last-row fill serves the level (problem 2k =
+    forward top half with open_top=tb, 2k+1 = reversed bottom half with
+    open_top=te).  Each sub resolves to a piece list: two child subs
+    (type-1 crossing, H + H), or child/bridge-lines/child (type-2: the
+    path crosses the midrow INSIDE a vertical gap -- rows mid and mid+1
+    are forced deletions and the halves get a free open at the shared
+    boundary, Myers & Miller 1988)."""
+    go, ge = params.gap_open, params.gap_extend
+    probs, opens = [], []
+    for (qi, qj, ri, rj, tb, te) in subs:
+        mid = (qi + qj) // 2
+        probs.append((ref_t[ri:rj], qry_t[qi:mid]))
+        opens.append(tb)
+        probs.append((ref_t[ri:rj][::-1].copy(), qry_t[mid:qj][::-1].copy()))
+        opens.append(te)
+    refs, qrys, rlen, qlen = _batch_problems(probs)
+    open_top = np.full(refs.shape[0], go, np.int32)
+    open_top[: len(opens)] = opens
+    _, hlast, flast = fill_last_rows_async(
+        Algorithm.ANW, params, refs, qrys, rlen, qlen, interpret=interpret,
+        open_top=open_top,
+    )
+    hlast = np.asarray(hlast).astype(np.int64)
+    flast = np.asarray(flast).astype(np.int64)
+    pieces = []
+    for k, (qi, qj, ri, rj, tb, te) in enumerate(subs):
+        nn = rj - ri
+        mid = (qi + qj) // 2
+        mtop, mbot = mid - qi, qj - mid  # both >= 1 for an open sub
+        # border column j = 0 is one vertical gap from the corner: it IS
+        # the F state there and opens at the boundary credit
+        fh = np.concatenate(([tb + mtop * ge], hlast[:nn, 2 * k]))
+        ff = np.concatenate(([tb + mtop * ge], flast[:nn, 2 * k]))
+        bh = np.concatenate(([te + mbot * ge], hlast[:nn, 2 * k + 1]))
+        bf = np.concatenate(([te + mbot * ge], flast[:nn, 2 * k + 1]))
+        tot_h = fh + bh[::-1]
+        tot_f = ff + bf[::-1] - go  # the bridged gap's open counted once
+        if tot_f.max() > tot_h.max():
+            js = ri + int(np.argmax(tot_f))
+            bridge = (GAP * 2, "  ",
+                      qry_t[mid - 1: mid + 1].tobytes().decode("ascii"))
+            pieces.append([
+                (qi, mid - 1, ri, js, tb, 0),
+                ["lines", bridge],
+                (mid + 1, qj, js, rj, 0, te),
+            ])
+        else:
+            js = ri + int(np.argmax(tot_h))
+            pieces.append([
+                (qi, mid, ri, js, tb, go),
+                (mid, qj, js, rj, go, te),
+            ])
+    return pieces
+
+
+def _affine_lines(params, ref_t, qry_t, leaf_q, interpret):
+    """Myers-Miller recursion for a global ANW alignment of token arrays."""
+    go = params.gap_open
+
+    def settle(sub):
+        qi, qj, ri, rj, tb, te = sub
+        qlen, rlen = qj - qi, rj - ri
+        if qlen == 0:
+            rseg = ref_t[ri:rj].tobytes().decode("ascii")
+            return ["lines", (rseg, " " * rlen, GAP * rlen)]
+        if rlen == 0:
+            qseg = qry_t[qi:qj].tobytes().decode("ascii")
+            return ["lines", (GAP * qlen, " " * qlen, qseg)]
+        if qlen == 1:
+            return ["lines",
+                    _one_row_lines(params, ref_t[ri:rj], qry_t[qi], tb, te)]
+        if tb == go and te == go and qlen <= leaf_q:
+            # credit-free subproblem: the standard packed-dirs engine is
+            # optimal for it (boundary gaps cannot merge with neighbors
+            # without contradicting the parent split's optimality)
+            return ["engine", (qi, qj, ri, rj)]
+        return ["open", sub]
+
+    items = [settle((0, qry_t.size, 0, ref_t.size, go, go))]
+    while any(k == "open" for k, _ in items):
+        open_idx = [i for i, (k, _) in enumerate(items) if k == "open"]
+        subs = [items[i][1] for i in open_idx]
+        pieces = _affine_split_level(params, subs, ref_t, qry_t, interpret)
+        for i, piece in zip(reversed(open_idx), reversed(pieces)):
+            items[i:i + 1] = [
+                x if isinstance(x, list) else settle(x) for x in piece
+            ]
+    eng_idx = [i for i, (k, _) in enumerate(items) if k == "engine"]
+    if eng_idx:
+        from tpu_align.io.dataset import PairDataset
+        from tpu_align.runtime.engine import AlignmentEngine
+
+        segs = [items[i][1] for i in eng_idx]
+        ds = PairDataset.from_pairs([
+            (ref_t[ri:rj].tobytes().decode("ascii"),
+             qry_t[qi:qj].tobytes().decode("ascii"))
+            for (qi, qj, ri, rj) in segs
+        ])
+        eng = AlignmentEngine(Algorithm.ANW, params, interpret=interpret)
+        for i, r in zip(eng_idx, eng.run(ds).results):
+            items[i] = ["lines",
+                        (r.ref_aligned, r.relation, r.query_aligned)]
+    parts = [v for _, v in items]
+    return ("".join(x[0] for x in parts), "".join(x[1] for x in parts),
+            "".join(x[2] for x in parts))
+
+
 def _local_endpoints(params, ref_t, qry_t, interpret):
     """Locate a co-optimal local path's end and start cells with two
     scores-only fills (forward; then reversed over the end cell's
@@ -200,22 +348,32 @@ def hirschberg_align(
 ) -> AlignmentResult:
     """Align one pair with NO direction storage (O(M+N) working memory).
 
-    LNW: Hirschberg over the last-row fill.  LSW: endpoint discovery (the
-    forward scores-only argmax cell is the path end; the reversed fill's
-    argmax is the start) followed by global Hirschberg on the segment
-    between them -- any global alignment of the max-cell-to-max-cell
-    segment is a co-optimal local path.  ANW/BSW: see module docstring.
+    LNW: Hirschberg over the last-row fill.  ANW: Myers-Miller -- the
+    split also considers the path crossing the midrow INSIDE a vertical
+    gap (captured Gotoh F last rows), forcing two bridge deletions and
+    handing the halves a free gap-open credit at the shared boundary.
+    LSW: endpoint discovery (the forward scores-only argmax cell is the
+    path end; the reversed fill's argmax is the start) followed by global
+    Hirschberg on the segment between them -- any global alignment of the
+    max-cell-to-max-cell segment is a co-optimal local path.  BSW is
+    banded: its direction storage is already O(M x band).
 
     leaf_q: subproblems with at most this many query rows run through the
     standard packed-dirs fill + traceback (the recursion base case).
     """
     params = params or AlignmentParams()
-    if algorithm not in (Algorithm.LNW, Algorithm.LSW):
+    if algorithm is Algorithm.BSW:
         raise NotImplementedError(
-            "hirschberg traceback supports LNW and LSW (ANW needs "
-            "Myers-Miller boundary credits; BSW is already O(M*band))"
+            "hirschberg is for unbanded pairs; BSW direction storage is "
+            "already O(M*band) -- use the banded kernel"
         )
+    if algorithm.is_affine and params.gap_open > 0:
+        raise ValueError("ANW requires gap_open <= 0")
     ref_t, qry_t = _tokens(ref), _tokens(qry)
+    if algorithm is Algorithm.ANW:
+        r, m, q = _affine_lines(params, ref_t, qry_t, leaf_q, interpret)
+        return AlignmentResult(pair_num, _rescore_affine(params, r, q),
+                               r, m, q)
     if algorithm is Algorithm.LSW:
         score, seg = _local_endpoints(params, ref_t, qry_t, interpret)
         if seg is None:
@@ -236,4 +394,21 @@ def _rescore(params, ref_line: str, qry_line: str) -> int:
             score += params.gap
         else:
             score += params.match if rc == qc else params.mismatch
+    return score
+
+
+def _rescore_affine(params, ref_line: str, qry_line: str) -> int:
+    """Exact affine-gap score of an emitted alignment (gap-run aware)."""
+    score = 0
+    in_e = in_f = False  # inside a horizontal (E) / vertical (F) gap run
+    for rc, qc in zip(ref_line, qry_line):
+        if rc == GAP:  # vertical: query char consumed, gap in the ref line
+            score += params.gap_extend + (0 if in_f else params.gap_open)
+            in_f, in_e = True, False
+        elif qc == GAP:  # horizontal
+            score += params.gap_extend + (0 if in_e else params.gap_open)
+            in_e, in_f = True, False
+        else:
+            score += params.match if rc == qc else params.mismatch
+            in_e = in_f = False
     return score
