@@ -10,7 +10,9 @@ a unit sublane shift or a register from the previous step:
 
     left  H[i][j-1]  = own sublane, previous step        (s1)
     up    H[i-1][j]  = sublane r-1, previous step        (roll(s1, 1))
-    diag  H[i-1][j-1]= sublane r-1, two steps back       (roll(s2, 1))
+    diag  H[i-1][j-1]= sublane r-1, two steps back       (= previous
+                       step's `up`: same roll, same fill row -- carried,
+                       not recomputed)
 
 so the ~21-op scan disappears and the kernel runs ~2x fewer VPU ops per
 cell.  Work redundancy is only (N + S - 1)/N (pipeline fill/drain at the
@@ -28,8 +30,21 @@ the reference that slides one position per step.  A reversed staging array
 revref[t] = ref[N-1-(t-S)] turns this into one dynamic sublane slice per
 step (revref[S+N-1-k .. +S]); no per-step shuffles.
 
-Scores stay in plain H-space (no G-space rank reduction needed -- there is
-no scan to de-rank).  Direction words pack the STEP axis: step k of a
+Scores are kept in anti-diagonal G-space: every cell computed at step k
+carries G = H - k*rc, where rc = gap (linear) or gap_extend (affine).
+Both unit-gap moves come from step k-1, so `ins = left` and `dele = up`
+with NO gap add (affine: E/F extends likewise lose their adds); the diag
+comes from step k-2, so its two ranks fold into the substitution
+constants (w - 2*rc).  All compared quantities at a step share the same
+rank, so the `__vibmax >=` tie chains are bitwise UNCHANGED from H-space.
+Rank is restored only at capture time: global aligners add ktarget*rc
+once per stripe; LSW restores per step before its running max (the max
+crosses steps of different rank).  The hand-off row buffer stores
+G + S*rc so cross-stripe reads need no per-step correction, and stripe-0
+init writes the H[0][j] border directly in read-rank form (a constant
+2*gap for LNW, go+2*ge for ANW, a (2-j)*gap ramp for LSW).
+
+Direction words pack the STEP axis: step k of a
 stripe lands in word k//16 at bits 2*(k%16) (4-bit/8-step for affine), one
 (S, P) word-plane written per 16 (8) steps, laid out (stripes, W, S, B).
 The walker maps cell (i, j) -> stripe (i-1)//S, sublane (i-1)%S, step
@@ -100,6 +115,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
     gap = p.gap
     go, ge = p.gap_open, p.gap_extend
     goe = p.gap_open + p.gap_extend
+    # anti-diagonal rank constant: cells computed at step k carry
+    # G = H - k*rc, so the per-step unit-gap adds vanish (see module doc)
+    rc = ge if is_affine else gap
+    wm2 = match_w - 2 * rc  # substitution weights absorb the diag's
+    wx2 = mismatch_w - 2 * rc  # two-step rank difference
     # local argmax tracking: pack (score, column) into one int32 as
     # enc = (h << SH) - jcol, so the per-step update is a single max
     # (bigger h wins; equal h -> smaller column wins = first occurrence)
@@ -131,34 +151,41 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
 
         @pl.when(stripe == 0)
         def _init():
-            # DP border row H[0][j] (column j lives at sublane j + PAD)
+            # DP border row H[0][j] (column j lives at sublane j + PAD),
+            # written in read-rank form: rowbuf[j + PAD] is consumed as
+            # `up` at step k = j-1 (and as `diag` one step later via the
+            # up_prev carry), so it must hold H[0][j] - (j-2)*rc.
             cols = jax.lax.broadcasted_iota(
                 jnp.int32, (rowbuf_h.shape[0], tile_p), 0
             ) - PAD
             if is_local:
-                rowbuf_h[:, :] = jnp.zeros_like(cols)
+                rowbuf_h[:, :] = (2 - cols) * gap  # H[0][j] = 0
             elif is_affine:
-                # H[0][j] = go + j*ge, H[0][0] = 0
-                rowbuf_h[:, :] = jnp.where(cols == 0, 0, go + cols * ge)
+                # H[0][j] = go + j*ge (j >= 1; H[0][0] only via inject)
+                rowbuf_h[:, :] = jnp.full_like(cols, goe + ge)
                 rowbuf_f[:, :] = jnp.full_like(cols, NEG)  # F row 0 = -inf
             else:
-                rowbuf_h[:, :] = cols * gap  # H[0][j] = j*gap
+                rowbuf_h[:, :] = jnp.full_like(cols, 2 * gap)  # = j*gap deranked
             best_s[:, :] = jnp.full((1, tile_p), NEG, jnp.int32)
             brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             bcol_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
 
         # per-stripe border columns (H[i][0] etc.), injected at step k == r
+        # in read-rank form: `left` is consumed at rank k-1 = io-1, `diag`
+        # at rank k-2 = io-2, so subtract (io-1)*rc resp. (io-2)*rc.
         if is_local:
-            border_left = jnp.zeros(shape, jnp.int32)
-            border_diag = jnp.zeros(shape, jnp.int32)
+            border_left = (1 - io) * gap  # H[i][0] = 0
+            border_diag = (2 - io) * gap
         elif is_affine:
-            border_left = goe - ge + i_slab * ge  # H[i][0] = go + i*ge
-            border_diag = jnp.where(
-                i_slab == 1, 0, goe - ge + (i_slab - 1) * ge
+            # H[i][0] = go + i*ge: deranked both collapse to a constant
+            border_left = jnp.full(shape, goe + (i0 + 1) * ge, jnp.int32)
+            border_diag = jnp.where(  # i_slab==1 only at io==0: H[0][0]=0
+                i_slab == 1, 2 * ge, goe + (i0 + 1) * ge
             )
         else:
-            border_left = i_slab * gap
-            border_diag = (i_slab - 1) * gap
+            # H[i][0] = i*gap: deranked both collapse to (i0+2)*gap
+            border_left = jnp.full(shape, (i0 + 2) * gap, jnp.int32)
+            border_diag = border_left
         neg_slab = jnp.full(shape, NEG, jnp.int32)
         qmask = i_slab <= qlen  # row within the true query
         qmask_eq = i_slab == qlen  # the final-row sublane (global capture)
@@ -167,23 +194,27 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
         # sublane at step k = rlen + r - 1; hoisting the target step turns
         # the per-step capture into one compare + one select
         ktarget = jnp.where(qmask_eq, rlen + io - 1, jnp.int32(NEG))
+        kt0 = jnp.where(qmask_eq, ktarget, 0)  # overflow-safe restore factor
 
         def step(k, carry, inject):
             """One anti-diagonal step: sublane r computes column j = k-r+1.
 
             `inject` (compile-time) enables the j==1 border injections;
             they can only fire while k < S, so the bulk of the sweep runs
-            a shorter dependency chain without them."""
+            a shorter dependency chain without them.  All values are in
+            G-space (G = H - k*rc): up/left/E/F-extends need no gap add,
+            and diag is the previous step's `up` verbatim (same roll,
+            same hand-off fill row)."""
             if is_affine:
-                (s1, s2, s1f, s1e, rbk, rbkf, acc,
+                (s1, up_prev, s1f, s1e, acc,
                  rowmax, rowcol, bot, botf) = carry
             else:
-                s1, s2, rbk, acc, rowmax, rowcol, bot = carry
-                s1f = s1e = rbkf = botf = None
+                s1, up_prev, acc, rowmax, rowcol, bot = carry
+                s1f = s1e = botf = None
             # neighbour loads from the previous stripe's bottom row
             rbk1 = rowbuf_h[pl.ds(k + 1 + PAD, 1), :]
             up = _shift1(s1, rbk1)
-            diag = _shift1(s2, rbk)
+            diag = up_prev
             left = s1
             if inject:
                 inj = io == k  # sublane starting its row this step (j == 1)
@@ -193,19 +224,19 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             start = jnp.maximum(S + n_cols - 1 - k, 0)
             refslab = revref_ref[pl.ds(start, S), :].astype(jnp.int32)
             is_match = refslab == qslab
-            w = jnp.where(is_match, match_w, mismatch_w)
-            mm = diag + w
+            mm = diag + jnp.where(is_match, wm2, wx2)
             if is_affine:
                 rbk1f = rowbuf_f[pl.ds(k + 1 + PAD, 1), :]
                 upf = _shift1(s1f, rbk1f)
                 # F: open vs extend, __vibmax open >= extend -> GAP_OPEN
-                f_open = up + goe
-                f_ext = upf + ge
+                # (G-space: the shared +ge rank is dropped from both arms)
+                f_open = up + go
+                f_ext = upf
                 f_row, f_open_wins = dpx.vibmax_s32(f_open, f_ext)
                 # E: left-dependency, same-sublane previous step
                 e_prev = jnp.where(io == k, neg_slab, s1e) if inject else s1e
-                e_open = left + goe
-                e_ext = e_prev + ge
+                e_open = left + go
+                e_ext = e_prev
                 e_row, e_open_wins = dpx.vibmax_s32(e_open, e_ext)
                 # H chain: best = mm; F >= best -> DEL; E >= best -> INS
                 best1, take_del = dpx.vibmax_s32(f_row, mm)
@@ -219,8 +250,8 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                     d = d | jnp.where(e_open_wins, 0, D.BIT_E_EXTEND)
                     acc = acc | (d << (bits * (k % spw)))
             else:
-                dele = up + gap
-                ins = left + gap
+                dele = up  # G-space: the +gap is the rank step
+                ins = left
                 if algo is Algorithm.LNW:
                     # chain (c++/LinearNeedlemanWunsch.cpp:122-126):
                     # best = mm; dele >= best -> DEL; ins >= best -> INS
@@ -229,10 +260,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 else:
                     # LSW (cuda/LinearSmithWaterman.cu:126-137):
                     # best = mm; ins >= best -> INS; dele >= best -> DEL;
-                    # 0-clamp (stop recovered by re-scoring in the walker)
+                    # 0-clamp (H = 0 is G = -k*gap; stop recovered by
+                    # re-scoring in the walker)
                     b1, take_ins = dpx.vibmax_s32(ins, mm)
                     h0, take_del = dpx.vibmax_s32(dele, b1)
-                    h = jnp.maximum(h0, 0)
+                    h = jnp.maximum(h0, -gap * k)
                 if with_traceback:
                     d = jnp.where(is_match, D.MAIN_DIAG_MATCH,
                                   D.MAIN_DIAG_MISMATCH)
@@ -251,8 +283,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 # fill-edge test; rows beyond qlen are discarded at the
                 # stripe merge (junk h never exceeds the true max: padded
                 # ref/qry tokens never match, so junk only decays).
+                # The running max crosses steps of different G-rank, so
+                # restore H = G + k*gap first (the one rank-restore that
+                # cannot be amortized to the stripe merge).
                 valid = jnp.logical_and(jcol >= 1, jcol <= rlen)
-                enc = (h << enc_sh) - jcol
+                enc = ((h + gap * k) << enc_sh) - jcol
                 rowmax = jnp.maximum(rowmax, jnp.where(valid, enc, NEG))
             elif is_local:
                 # per-row running max (strict > keeps the earliest column);
@@ -260,7 +295,7 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 valid = jnp.logical_and(
                     jnp.logical_and(io <= k, jcol <= rlen), qmask
                 )
-                cand = jnp.where(valid, h, NEG)
+                cand = jnp.where(valid, h + gap * k, NEG)
                 upd = cand > rowmax
                 rowmax = jnp.where(upd, cand, rowmax)
                 rowcol = jnp.where(upd, jcol, rowcol)
@@ -275,9 +310,9 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             if is_affine:
                 botf = jnp.where(iota_spw == (k % spw), f_row[S - 1:S, :],
                                  botf)
-                return (h, s1, f_row, e_row, rbk1, rbk1f, acc,
+                return (h, up, f_row, e_row, acc,
                         rowmax, rowcol, bot, botf)
-            return h, s1, rbk1, acc, rowmax, rowcol, bot
+            return h, up, acc, rowmax, rowcol, bot
 
         iota_spw = _iota_s((spw, tile_p))
 
@@ -294,36 +329,38 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             bot = jnp.zeros((spw, tile_p), jnp.int32)
             if is_affine:
                 botf = jnp.zeros((spw, tile_p), jnp.int32)
-                st = slabs[:6] + (acc,) + word_carry + (bot, botf)
+                st = slabs[:4] + (acc,) + word_carry + (bot, botf)
             else:
-                st = slabs[:3] + (acc,) + word_carry + (bot,)
+                st = slabs[:2] + (acc,) + word_carry + (bot,)
             for sub in range(spw):
                 st = step(wi * spw + sub, st, inject)
             if is_affine:
-                slabs = st[:6]
-                acc = st[6]
-                word_carry = st[7:9]
-                bot, botf = st[9], st[10]
+                slabs = st[:4]
+                acc = st[4]
+                word_carry = st[5:7]
+                bot, botf = st[7], st[8]
             else:
-                slabs = st[:3]
-                acc = st[3]
-                word_carry = st[4:6]
-                bot = st[6]
+                slabs = st[:2]
+                acc = st[2]
+                word_carry = st[3:5]
+                bot = st[5]
             store_at = wi * spw - (S - 1) + 1 + PAD
-            rowbuf_h[pl.ds(store_at, spw), :] = bot
+            # store with the +S*rc fold so next-stripe reads are rank-free
+            # (column j stored at step j+S-2, read as `up` at step j-1)
+            rowbuf_h[pl.ds(store_at, spw), :] = bot + S * rc
             if is_affine:
-                rowbuf_f[pl.ds(store_at, spw), :] = botf
+                rowbuf_f[pl.ds(store_at, spw), :] = botf + S * rc
             if with_traceback:
                 dirs_ref[0, wi, :, :] = acc
             return slabs, word_carry
 
         junk = jnp.zeros(shape, jnp.int32)
-        rb0 = rowbuf_h[pl.ds(PAD, 1), :]
+        # up_prev starts as junk: at step 0 every sublane's diag is either
+        # injected (r == 0) or in the pipeline-fill region (r > 0)
         if is_affine:
-            slabs = (junk, junk, neg_slab, neg_slab, rb0,
-                     rowbuf_f[pl.ds(PAD, 1), :])
+            slabs = (junk, junk, neg_slab, neg_slab)
         else:
-            slabs = (junk, junk, rb0)
+            slabs = (junk, junk)
         word_carry = (jnp.full(shape, NEG, jnp.int32),
                       jnp.zeros(shape, jnp.int32))  # rowcol unused for global
         # border injections can only fire during the first S steps: unroll
@@ -365,8 +402,10 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             brow_s[:, :] = jnp.where(upd, i0 + r_best + 1, brow_s[:, :])
             bcol_s[:, :] = jnp.where(upd, c_best, bcol_s[:, :])
         else:
+            # captured at step ktarget in G-space: restore H = G + k*rc
+            restored = jnp.where(qmask_eq, rowmax + kt0 * rc, NEG)
             best_s[:, :] = jnp.maximum(
-                best_s[:, :], jnp.max(rowmax, axis=0, keepdims=True)
+                best_s[:, :], jnp.max(restored, axis=0, keepdims=True)
             )
             brow_s[:, :] = qlen
             bcol_s[:, :] = rlen
@@ -463,7 +502,7 @@ def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
         pltpu.VMEM((1, tile_p), jnp.int32),  # best row
         pltpu.VMEM((1, tile_p), jnp.int32),  # best col
     ]
-    flops_per_cell = 18 if algorithm.is_affine else 12
+    flops_per_cell = 16 if algorithm.is_affine else 10
     cost = pl.CostEstimate(
         flops=flops_per_cell * b * m * (n + S),
         bytes_accessed=b * (m + n) * 4
