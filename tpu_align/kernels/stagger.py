@@ -84,6 +84,13 @@ def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+def _imm32(v: int) -> int:
+    """Wrap a Python int into signed-int32 range (pre-shifted direction
+    codes reach bit 31, e.g. code 3 << 30)."""
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
 def _iota_s(shape):
     """Sublane-axis iota r = 0..S-1, broadcast over pairs."""
     return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
@@ -196,7 +203,7 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
         ktarget = jnp.where(qmask_eq, rlen + io - 1, jnp.int32(NEG))
         kt0 = jnp.where(qmask_eq, ktarget, 0)  # overflow-safe restore factor
 
-        def step(k, carry, inject):
+        def step(k, sub, carry, inject):
             """One anti-diagonal step: sublane r computes column j = k-r+1.
 
             `inject` (compile-time) enables the j==1 border injections;
@@ -204,7 +211,10 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             a shorter dependency chain without them.  All values are in
             G-space (G = H - k*rc): up/left/E/F-extends need no gap add,
             and diag is the previous step's `up` verbatim (same roll,
-            same hand-off fill row)."""
+            same hand-off fill row).  `sub` = k % spw as a compile-time
+            int (k itself is traced in the bulk fori), so the direction
+            constants are pre-shifted immediates and the bottom-row
+            collect mask is a constant."""
             if is_affine:
                 (s1, up_prev, s1f, s1e, acc,
                  rowmax, rowcol, bot, botf) = carry
@@ -242,13 +252,14 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 best1, take_del = dpx.vibmax_s32(f_row, mm)
                 h, take_ins = dpx.vibmax_s32(e_row, best1)
                 if with_traceback:
-                    d = jnp.where(is_match, D.MAIN_DIAG_MATCH,
-                                  D.MAIN_DIAG_MISMATCH)
-                    d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
-                    d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
-                    d = d | jnp.where(f_open_wins, 0, D.BIT_F_EXTEND)
-                    d = d | jnp.where(e_open_wins, 0, D.BIT_E_EXTEND)
-                    acc = acc | (d << (bits * (k % spw)))
+                    sh = bits * sub  # compile-time: pre-shift the codes
+                    d = jnp.where(is_match, _imm32(D.MAIN_DIAG_MATCH << sh),
+                                  _imm32(D.MAIN_DIAG_MISMATCH << sh))
+                    d = jnp.where(take_del, _imm32(D.MAIN_QUERY_DELETION << sh), d)
+                    d = jnp.where(take_ins, _imm32(D.MAIN_QUERY_INSERTION << sh), d)
+                    d = d | jnp.where(f_open_wins, 0, _imm32(D.BIT_F_EXTEND << sh))
+                    d = d | jnp.where(e_open_wins, 0, _imm32(D.BIT_E_EXTEND << sh))
+                    acc = acc | d
             else:
                 dele = up  # G-space: the +gap is the rank step
                 ins = left
@@ -266,15 +277,20 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                     h0, take_del = dpx.vibmax_s32(dele, b1)
                     h = jnp.maximum(h0, -gap * k)
                 if with_traceback:
-                    d = jnp.where(is_match, D.MAIN_DIAG_MATCH,
-                                  D.MAIN_DIAG_MISMATCH)
+                    sh = bits * sub  # compile-time: pre-shift the codes
+                    d = jnp.where(is_match, _imm32(D.MAIN_DIAG_MATCH << sh),
+                                  _imm32(D.MAIN_DIAG_MISMATCH << sh))
                     if algo is Algorithm.LNW:
-                        d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
-                        d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
+                        d = jnp.where(take_del,
+                                      _imm32(D.MAIN_QUERY_DELETION << sh), d)
+                        d = jnp.where(take_ins,
+                                      _imm32(D.MAIN_QUERY_INSERTION << sh), d)
                     else:
-                        d = jnp.where(take_ins, D.MAIN_QUERY_INSERTION, d)
-                        d = jnp.where(take_del, D.MAIN_QUERY_DELETION, d)
-                    acc = acc | (d << (bits * (k % spw)))
+                        d = jnp.where(take_ins,
+                                      _imm32(D.MAIN_QUERY_INSERTION << sh), d)
+                        d = jnp.where(take_del,
+                                      _imm32(D.MAIN_QUERY_DELETION << sh), d)
+                    acc = acc | d
 
             jcol = k - iom1  # DP column per sublane
             if use_enc:
@@ -306,9 +322,9 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
 
             # collect the stripe's bottom row; flushed to the hand-off
             # buffer once per word (sub is compile-time -> constant mask)
-            bot = jnp.where(iota_spw == (k % spw), h[S - 1:S, :], bot)
+            bot = jnp.where(iota_spw == sub, h[S - 1:S, :], bot)
             if is_affine:
-                botf = jnp.where(iota_spw == (k % spw), f_row[S - 1:S, :],
+                botf = jnp.where(iota_spw == sub, f_row[S - 1:S, :],
                                  botf)
                 return (h, up, f_row, e_row, acc,
                         rowmax, rowcol, bot, botf)
@@ -333,7 +349,7 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             else:
                 st = slabs[:2] + (acc,) + word_carry + (bot,)
             for sub in range(spw):
-                st = step(wi * spw + sub, st, inject)
+                st = step(wi * spw + sub, sub, st, inject)
             if is_affine:
                 slabs = st[:4]
                 acc = st[4]
