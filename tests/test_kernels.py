@@ -201,6 +201,20 @@ def test_stagger_tie_rich_sparse_alphabet(rng, algo):
     _run_and_compare_stagger(algo, PARAMS, pairs)
 
 
+def test_stagger_lsw_huge_weights_disable_enc(rng):
+    """A match weight large enough that (score << SH) would overflow int32
+    forces the LSW capture onto the non-encoded running-max branch
+    (use_enc False), which is otherwise never exercised at DNA-scale
+    weights.  Parity must hold there too (incl. the G-space restore)."""
+    from tpu_align.kernels.stagger import _make_stagger_kernel  # noqa: F401
+
+    params = AlignmentParams(match=3000000, mismatch=-1000000, gap=-2000000)
+    pairs = [(random_dna(rng, 2, 60, alphabet="AC"),
+              random_dna(rng, 2, 60, alphabet="AC")) for _ in range(6)]
+    pairs += [("ACGTACGT", "ACGT"), ("AAAA", "TTTT")]
+    _run_and_compare_stagger(Algorithm.LSW, params, pairs)
+
+
 def test_stagger_alt_params_and_stripe(rng):
     params = AlignmentParams(match=5, mismatch=-2, gap=-3, gap_open=-6,
                              gap_extend=-2)
