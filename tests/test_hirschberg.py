@@ -191,6 +191,27 @@ def test_hirschberg_long_asymmetric():
     _check_lines(got, ref, qry)
 
 
+def test_hirschberg_flips_long_reference():
+    """A reference longer than the query is solved transposed (the
+    VMEM-capped kernel axis gets the shorter side): scores stay exact and
+    the emitted lines still belong to the ORIGINAL orientation."""
+    rnd = random.Random(77)
+    p = AlignmentParams()
+    ref = _dna(rnd, 420, 420)  # longer side -> becomes the kernel query
+    qry = _dna(rnd, 90, 90)
+    for algo in (Algorithm.LNW, Algorithm.LSW):
+        want = align_pair(algo, p, ref, qry, engine="vectorized")
+        got = hirschberg_align(algo, p, ref, qry, leaf_q=32, interpret=True)
+        assert got.score == want.score, algo
+        _check_lines(got, ref, qry, local=algo is Algorithm.LSW)
+    pa = AlignmentParams(gap_open=-3, gap_extend=-1)
+    want = align_pair(Algorithm.ANW, pa, ref, qry, engine="vectorized")
+    got = hirschberg_align(Algorithm.ANW, pa, ref, qry, leaf_q=32,
+                           interpret=True)
+    assert got.score == want.score
+    _check_lines(got, ref, qry)
+
+
 def test_engine_hirschberg_mode():
     """Engine traceback='hirschberg': same scores as the packed-dirs path,
     legal lines (paths may differ at ties)."""

@@ -13,9 +13,12 @@ alignment.
 Role: exceeds the reference (no counterpart in
 mickgordinier/DPX_GPU_Genomics_Project) -- enables pairs whose direction
 matrix cannot be materialized (a 100kbp x 100kbp pair needs 2.5 GB even at
-2 bits/cell; last rows need 400 KB) at ~2x the fill FLOPs.  The current
-fill keeps (N, 128) rows in VMEM, so the reference-side length N is capped
-(~32kbp); the query side M is unbounded.
+2 bits/cell; last rows need 400 KB) at ~2x the fill FLOPs.  The fill
+keeps (N, 128) rows in VMEM, capping the kernel's reference axis
+(~32kbp); hirschberg_align puts the SHORTER sequence on that axis
+(alignment is symmetric under swapping the pair; this mode's contract is
+co-optimality, not the walkers' tie chain), so only min(M, N) is capped
+and the longer side is unbounded.
 
 Scope: LNW exactly; ANW via Myers-Miller (1988) -- the split also
 considers crossing the midrow INSIDE a vertical gap using the captured
@@ -370,20 +373,35 @@ def hirschberg_align(
     if algorithm.is_affine and params.gap_open > 0:
         raise ValueError("ANW requires gap_open <= 0")
     ref_t, qry_t = _tokens(ref), _tokens(qry)
+    # The DP problem is symmetric under swapping the two sequences (the
+    # relation line and score are invariant; the gap lines swap; for
+    # affine the E and F matrices trade roles under the same weights), and
+    # this mode promises A co-optimal alignment, not the walkers' tie
+    # chain -- so solve with the SHORTER side as the kernel's reference
+    # axis.  This puts the VMEM-capped (N, 128)-rows fill on min(M, N):
+    # only the shorter side is capped (~32kbp), the longer is unbounded.
+    flip = ref_t.size > qry_t.size
+    if flip:
+        ref_t, qry_t = qry_t, ref_t
+
+    def result(score, r="", m="", q=""):
+        if flip:
+            r, q = q, r
+        return AlignmentResult(pair_num, score, r, m, q)
+
     if algorithm is Algorithm.ANW:
         r, m, q = _affine_lines(params, ref_t, qry_t, leaf_q, interpret)
-        return AlignmentResult(pair_num, _rescore_affine(params, r, q),
-                               r, m, q)
+        return result(_rescore_affine(params, r, q), r, m, q)
     if algorithm is Algorithm.LSW:
         score, seg = _local_endpoints(params, ref_t, qry_t, interpret)
         if seg is None:
-            return AlignmentResult(pair_num, score)
+            return result(score)
         sr, er, sc, ec = seg
         r, m, q = _global_lines(params, ref_t[sc:ec], qry_t[sr:er], leaf_q,
                                 interpret)
-        return AlignmentResult(pair_num, score, r, m, q)
+        return result(score, r, m, q)
     r, m, q = _global_lines(params, ref_t, qry_t, leaf_q, interpret)
-    return AlignmentResult(pair_num, _rescore(params, r, q), r, m, q)
+    return result(_rescore(params, r, q), r, m, q)
 
 
 def _rescore(params, ref_line: str, qry_line: str) -> int:
