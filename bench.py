@@ -22,10 +22,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
+
+# the axon plugin registers itself regardless of JAX_PLATFORMS; honor the
+# env var through jax.config before any backend is touched (same pattern
+# as cli.py / tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
@@ -198,6 +206,27 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     }
 
 
+def _wait_for_backend(max_wait_s=600, verbose=True):
+    """Retry backend initialization for a bounded window.
+
+    The remote TPU worker occasionally restarts; a transient UNAVAILABLE
+    at init time should not turn a benchmark run into a failure.  Retries
+    touch the backend with a trivial op; gives up after max_wait_s."""
+    log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            jax.device_put(np.zeros(1, np.int32)).block_until_ready()
+            return
+        except Exception as e:  # backend init raises RuntimeError/JaxRuntimeError
+            attempt += 1
+            if time.monotonic() >= deadline:
+                raise
+            log(f"backend unavailable (attempt {attempt}): {e}; retrying")
+            time.sleep(min(60, max(5, deadline - time.monotonic())))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=100_000)
@@ -229,7 +258,12 @@ def main():
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one sweep to DIR")
+    ap.add_argument("--backend-wait", type=int, default=600, metavar="S",
+                    help="retry a transiently-unavailable backend for up "
+                         "to S seconds before failing (0 = no retry)")
     args = ap.parse_args()
+    if args.backend_wait:
+        _wait_for_backend(args.backend_wait, verbose=not args.quiet)
     if args.engine:
         result = run_engine_bench(
             num_pairs=args.pairs, seq_len=args.seq_len,
