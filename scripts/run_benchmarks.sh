@@ -1,24 +1,37 @@
 #!/usr/bin/env bash
 # Ops parity with the reference's cluster scripts (cuda/sendToCluster,
 # readLastLog.sh, timing_analysis/): run the full hardware benchmark
-# matrix -- all four aligners, traceback and scores-only, the end-to-end
-# engine breakdowns (host and device traceback), and a 2k-length row --
-# collect phase records, and render the breakdown table/chart.
+# matrix -- all four aligners, traceback and scores-only, the stagger
+# stripe-width sweep, the end-to-end engine breakdowns (host and device
+# traceback, both walk engines, blocks and records assembly), a
+# 2k-length row, and the long-pair Hirschberg bench -- collect phase
+# records, and render the breakdown table/chart.
 #
 # Results are appended to bench_runs.jsonl (committed as BENCHMATRIX.jsonl
 # after a full hardware run; see PERF.md for the rendered table).
-set -euo pipefail
+set -uo pipefail
 cd "$(dirname "$0")/.."
 out=${1:-bench_runs.jsonl}
 : > "$out"
+run() { echo "=== $* ===" >&2; timeout 3000 python bench.py "$@" --quiet >> "$out" || echo "FAILED: $*" >&2; }
 for algo in lnw lsw anw bsw; do
-  python bench.py --algorithm "$algo" --quiet >> "$out"
-  python bench.py --algorithm "$algo" --scores-only --quiet >> "$out"
+  run --algorithm "$algo"
+  run --algorithm "$algo" --scores-only
 done
+# stagger stripe-width sweep (headline config; S=32 is the default)
+run --stripe 16
+run --stripe 64
 # long sequences: 2048 x 2048 (sized to keep runtime moderate)
-python bench.py --pairs 1536 --len 2048 --batch 1536 --quiet >> "$out"
-# end-to-end engine with phase breakdown, host vs device traceback
-python bench.py --engine --pairs 20000 --quiet >> "$out"
-python bench.py --engine --pairs 20000 --traceback device --quiet >> "$out"
+run --pairs 1536 --len 2048 --batch 1536
+# end-to-end engine with phase breakdown: host vs device traceback,
+# both walk engines, native blocks vs per-pair records assembly
+run --engine --pairs 20000
+run --engine --pairs 20000 --output records
+run --engine --pairs 20000 --traceback device
+run --engine --pairs 20000 --traceback device --walker pallas
+run --engine --pairs 20000 --algorithm bsw --traceback device
+# long-pair Hirschberg (no direction storage)
+timeout 3000 python scripts/bench_long.py --qry 16384 --ref 4096 >> "$out" \
+  || echo "FAILED: bench_long" >&2
 python -m tpu_align.utils.timing_analysis "$out" bench_breakdown.png || true
 echo "wrote $out"
