@@ -206,12 +206,28 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     }
 
 
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE", "Unable to initialize backend", "DEADLINE_EXCEEDED",
+    "Socket closed", "Connection reset", "failed to connect",
+    "INTERNAL: stream terminated",
+)
+
+
+def _is_transient(e: BaseException) -> bool:
+    """True for errors that look like a remote-worker outage/restart
+    (worth retrying), False for real failures (bad config, code bugs)."""
+    msg = f"{type(e).__name__}: {e}"
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
 def _wait_for_backend(max_wait_s=600, verbose=True):
     """Retry backend initialization for a bounded window.
 
     The remote TPU worker occasionally restarts; a transient UNAVAILABLE
     at init time should not turn a benchmark run into a failure.  Retries
-    touch the backend with a trivial op; gives up after max_wait_s."""
+    touch the backend with a trivial op; gives up after max_wait_s.
+    Non-transient init failures (bad config, missing plugin) surface
+    immediately instead of stalling out the window."""
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
     deadline = time.monotonic() + max_wait_s
     attempt = 0
@@ -220,11 +236,35 @@ def _wait_for_backend(max_wait_s=600, verbose=True):
             jax.device_put(np.zeros(1, np.int32)).block_until_ready()
             return
         except Exception as e:  # backend init raises RuntimeError/JaxRuntimeError
+            if not _is_transient(e):
+                raise
             attempt += 1
             if time.monotonic() >= deadline:
                 raise
             log(f"backend unavailable (attempt {attempt}): {e}; retrying")
             time.sleep(min(60, max(5, deadline - time.monotonic())))
+
+
+def _run_with_retry(fn, max_wait_s, verbose=True):
+    """Run the WHOLE benchmark under outage protection.
+
+    A worker restart mid-run (e.g. during jax.device_put staging or a
+    measured sweep, the round-2 BENCH_r02 failure mode) raises from deep
+    inside the run; if it looks transient, wait for the backend to come
+    back and re-run from scratch (stale device buffers from the dead
+    worker must not be reused).  Gives up when the wait budget is spent."""
+    log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
+    deadline = time.monotonic() + max(max_wait_s, 1)
+    while True:
+        try:
+            return fn()
+        except Exception as e:
+            remaining = deadline - time.monotonic()
+            if not _is_transient(e) or remaining <= 0:
+                raise
+            log(f"benchmark run failed on a transient backend error ({e}); "
+                f"waiting for backend and retrying ({remaining:.0f}s budget)")
+            _wait_for_backend(remaining, verbose=verbose)
 
 
 def main():
@@ -265,19 +305,24 @@ def main():
     if args.backend_wait:
         _wait_for_backend(args.backend_wait, verbose=not args.quiet)
     if args.engine:
-        result = run_engine_bench(
+        run = lambda: run_engine_bench(  # noqa: E731
             num_pairs=args.pairs, seq_len=args.seq_len,
             batch_pairs=args.batch, algorithm=args.algorithm,
             verbose=not args.quiet, traceback_mode=args.traceback,
             walker=args.walker, output=args.output,
         )
     else:
-        result = run_bench(
+        run = lambda: run_bench(  # noqa: E731
             num_pairs=args.pairs, seq_len=args.seq_len,
             with_traceback=not args.scores_only, batch_pairs=args.batch,
             iters=args.iters, algorithm=args.algorithm, verbose=not args.quiet,
             profile_dir=args.profile, kernel=args.kernel, stripe=args.stripe,
         )
+    # the retry protects the WHOLE run: a worker restart mid-sweep
+    # (BENCH_r02's failure mode raised from jax.device_put inside
+    # run_bench) re-runs the benchmark once the backend returns
+    result = _run_with_retry(run, max_wait_s=args.backend_wait or 1,
+                             verbose=not args.quiet)
     print(json.dumps(result))
 
 

@@ -67,3 +67,35 @@ def test_verifier_catches_illegal_path(tmp_path):
         Algorithm.LNW, AlignmentParams(), *ds.pair(0), b2
     )
     assert problems
+
+
+@pytest.mark.parametrize("name,algo", [("lnw-all", Algorithm.LNW),
+                                       ("lsw-all", Algorithm.LSW)])
+def test_engine_reproduces_all_paths_goldens(name, algo):
+    """-all-paths end to end: LNW enumerates every co-optimal global path
+    (python/LinearNeedlemanWunsch.py:98-191), LSW walks every max cell
+    (BACKTRACK_ALL).  Goldens are tie-rich (2-letter alphabet)."""
+    d = os.path.join(GOLDENS, name)
+    got = align_file(
+        os.path.join(d, "input-data.txt"), algo,
+        local_mode="all", output="records",
+    ).output_text()
+    with open(os.path.join(d, "align-output.txt")) as f:
+        want = f.read()
+    assert got == want
+    # the tie-rich inputs must actually produce multi-path blocks
+    assert len(want.splitlines()) > 24 * 4
+
+
+def test_cli_lnw_all_paths(tmp_path):
+    """-all-paths is CLI-reachable for the global aligner."""
+    from tpu_align.cli import main
+
+    d = os.path.join(GOLDENS, "lnw-all")
+    out_file = tmp_path / "out.txt"
+    rc = main(["-pairs", os.path.join(d, "input-data.txt"),
+               "-algorithm", "lnw", "-all-paths", "-output", "records",
+               "-out", str(out_file)])
+    assert rc == 0
+    with open(os.path.join(d, "align-output.txt")) as f:
+        assert out_file.read_text() == f.read()

@@ -50,10 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-scores-only", action="store_true",
                    help="skip traceback (V6-style fast path)")
     p.add_argument("-all-paths", action="store_true",
-                   help="local aligners: emit every co-optimal path from "
+                   help="emit every co-optimal path: local aligners walk "
                         "every max cell (the CPU BACKTRACK_ALL switch, "
-                        "c++/LinearSmithWaterman.h:9; oracle path, no "
-                        "kernels)")
+                        "c++/LinearSmithWaterman.h:9), lnw enumerates all "
+                        "co-optimal global paths "
+                        "(python/LinearNeedlemanWunsch.py:98-191); oracle "
+                        "path, no kernels")
     p.add_argument("-traceback", default="host",
                    choices=["host", "device", "hirschberg"],
                    help="walk packed directions on the host (threaded "
@@ -99,9 +101,10 @@ def main(argv=None) -> int:
     ds = parse_pair_file(args.pairs)
     parse_s = time.perf_counter() - t0
     st = ds.stats()
-    if args.all_paths and not algorithm.is_local:
-        print("-all-paths requires a local algorithm (lsw/bsw)",
-              file=sys.stderr)
+    if args.all_paths and algorithm is Algorithm.ANW:
+        print("-all-paths supports lnw (all co-optimal global paths, "
+              "python/LinearNeedlemanWunsch.py:98-191) and lsw/bsw "
+              "(BACKTRACK_ALL), not anw", file=sys.stderr)
         return 2
     output = args.output
     if output == "auto":

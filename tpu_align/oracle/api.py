@@ -21,7 +21,8 @@ def align_pair(
 ) -> AlignmentResult:
     fill_fn = fill_vectorized if engine == "vectorized" else fill_scalar
     fill = fill_fn(algorithm, params, reference, query, tie_policy=tie_policy)
-    return traceback_pair(fill, reference, query, pair_num, local_mode=local_mode)
+    return traceback_pair(fill, reference, query, pair_num,
+                          local_mode=local_mode, params=params)
 
 
 def align_batch(

@@ -168,16 +168,30 @@ def traceback_pair(
     query: str,
     pair_num: int = 0,
     local_mode: str = "single",
+    params=None,
 ) -> AlignmentResult:
     """Produce the alignment strings for one filled pair.
 
-    local_mode (local aligners only):
-      "single" -- one path from the first row-major max cell (the CUDA host
-                  semantics, cuda/LinearSmithWaterman.cu:300-327).
-      "all"    -- every max cell yields a path (CPU BACKTRACK_ALL mode).
+    local_mode:
+      "single" -- one path; local aligners start from the first row-major
+                  max cell (the CUDA host semantics,
+                  cuda/LinearSmithWaterman.cu:300-327).
+      "all"    -- local: every max cell yields a path (CPU BACKTRACK_ALL);
+                  LNW: every co-optimal global path, BFS enumeration
+                  (python/LinearNeedlemanWunsch.py:98-191; needs `params`
+                  to recover co-optimal predecessors by score identity).
     """
     algo = fill.algorithm
     if algo is Algorithm.LNW:
+        if local_mode == "all":
+            if params is None:
+                raise ValueError("LNW all-paths needs the scoring params")
+            score, paths = lnw_all_paths(fill, params, reference, query)
+            first = paths[0] if paths else ("", "", "")
+            return AlignmentResult(
+                pair_num, score, first[0], first[1], first[2],
+                extra_paths=list(paths[1:]),
+            )
         r, m, q = _walk_nw(
             fill.main_dirs, reference, query,
             fill.h.shape[0] - 1, fill.h.shape[1] - 1, stop_local=False,

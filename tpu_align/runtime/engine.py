@@ -232,8 +232,10 @@ class AlignmentEngine:
         self.interpret = interpret
         if local_mode not in ("single", "all"):
             raise ValueError(f"unknown local_mode {local_mode!r}")
-        if local_mode == "all" and not algorithm.is_local:
-            raise ValueError("local_mode='all' requires a local algorithm")
+        if local_mode == "all" and algorithm is Algorithm.ANW:
+            raise ValueError(
+                "local_mode='all' supports lsw/bsw (BACKTRACK_ALL) and lnw "
+                "(co-optimal global paths), not the affine aligner")
         self.local_mode = local_mode
         self.max_inflight = max_inflight or 0
         if kernel not in ("auto", "stagger", "rowscan"):
@@ -361,6 +363,13 @@ class AlignmentEngine:
                 raise ValueError(
                     "checkpoint_dir requires output='records' (checkpoints "
                     "persist per-pair records)"
+                )
+            if self.local_mode == "all" or (
+                    self.traceback_mode == "hirschberg" and self.with_traceback):
+                raise ValueError(
+                    "checkpoint_dir is not supported with local_mode='all' or "
+                    "traceback='hirschberg' (those modes bypass the bucketed "
+                    "kernel path that checkpoints persist)"
                 )
             os.makedirs(checkpoint_dir, exist_ok=True)
         if self.local_mode == "all":

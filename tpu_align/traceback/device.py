@@ -324,12 +324,24 @@ def device_walk_dispatch(
         budget = _walk_phase_budget(mw * 16, k8, 1)
         walk = functools.partial(_device_walk_banded, params, dirs, *args)
     elif walker == "pallas":
-        from tpu_align.traceback.walk_kernel import device_walk_pallas
+        from tpu_align.traceback.walk_kernel import (device_walk_pallas,
+                                                     pallas_t_max_cap)
         stripes, W, _, _ = dirs.shape
         spw = 32 // bits_per_cell(algorithm)
         budget = _walk_phase_budget(stripes * stripe_s, W, spw)
-        walk = functools.partial(device_walk_pallas, algorithm, params,
-                                 dirs, *args, stripe_s)
+        cap = pallas_t_max_cap(dirs.shape, stripe_s)
+        pallas_walk = functools.partial(device_walk_pallas, algorithm,
+                                        params, dirs, *args, stripe_s)
+        xla_walk = functools.partial(_device_walk, algorithm, params, dirs,
+                                     *args, stripe_s)
+
+        def walk(t_budget):
+            # budget-doubling retries can outgrow the Pallas kernel's VMEM
+            # scratch (emit_buf is (t_max, gt)); degrade to the XLA walker
+            # (HBM-resident state) instead of failing at compile time
+            if t_budget <= cap:
+                return pallas_walk(t_budget)
+            return xla_walk(t_budget)
     elif walker == "xla":
         stripes, W, _, _ = dirs.shape
         spw = 32 // bits_per_cell(algorithm)

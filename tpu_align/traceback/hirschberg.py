@@ -336,7 +336,10 @@ def _local_endpoints(params, ref_t, qry_t, interpret):
         with_traceback=False, interpret=interpret,
     )
     sc2, rr, rc = (int(np.asarray(x)[0]) for x in (sc2, rr, rc))
-    assert sc2 == score, (sc2, score)  # suffix max equals the global max
+    if sc2 != score:  # suffix max must equal the global max
+        raise RuntimeError(
+            f"LSW endpoint discovery: reversed-fill max {sc2} != forward "
+            f"local max {score}; fill kernel regression?")
     return score, (er - rr, er, ec - rc, ec)  # qry [sr:er], ref [sc:ec]
 
 

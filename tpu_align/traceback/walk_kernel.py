@@ -44,6 +44,28 @@ from tpu_align.kernels.fill import TILE_P, _default_interpret, bits_per_cell
 from tpu_align.traceback.device import decide_step
 
 
+def pallas_t_max_cap(dirs_shape, stripe_s: int) -> int:
+    """Largest phase budget t_max whose VMEM residents fit the kernel's
+    compiler limit.
+
+    The walker keeps three t_max-scaled buffers live per lane group: the
+    emit scratch (t_max, gt) int32, the packed output block (t_max/16, gt)
+    and the stripe slab (W, S, gt).  The budget-doubling retry contract
+    (device.device_walk_finalize) can grow t_max without bound on
+    pathological serializing pairs; past this cap the retry would fail at
+    COMPILE time with a Mosaic scoped-VMEM error instead of walking, so
+    the dispatcher falls back to the XLA while_loop walker (HBM-resident
+    state, no such ceiling) for budgets above it."""
+    _, W, S, B = dirs_shape
+    gt = _group_lanes(B)
+    vmem = 100 * 1024 * 1024  # matches CompilerParams below
+    slab = W * S * gt * 4
+    fixed = slab + 8 * gt * 4 + 64 * 1024  # slab + small scratches + slack
+    per_t = gt * 4 * (1 + 1 / 16)          # emit_buf + packed out, per phase
+    cap = int((vmem * 0.9 - fixed) / per_t)
+    return max(16, (cap // 16) * 16)
+
+
 def _group_lanes(b: int) -> int:
     """Widest lane group that divides the batch: more parallel walk chains
     per program (the per-phase serial chain is latency-bound; independent

@@ -40,18 +40,21 @@ def synthetic_dataset(
     sub_rate: float = 0.05,
     indel_rate: float = 0.02,
     uniform_len: int | None = None,
+    alphabet: str | None = None,
 ) -> PairDataset:
     """Generate `num_pairs` (reference, query) read pairs.
 
     Reference lengths are uniform in [min_len, max_len] (or fixed to
     uniform_len); queries are mutated copies, so their lengths scatter
-    around the reference length.
+    around the reference length.  A reduced `alphabet` (e.g. "AT") makes
+    co-optimal ties rich (all-paths golden generation).
     """
+    bases = np.frombuffer(alphabet.encode(), np.uint8) if alphabet else _BASES
     rng = np.random.default_rng(seed)
     pairs = []
     for _ in range(num_pairs):
         n = uniform_len or int(rng.integers(min_len, max_len + 1))
-        ref = _BASES[rng.integers(0, 4, n)]
+        ref = bases[rng.integers(0, len(bases), n)]
         qry = mutate(rng, ref, sub_rate, indel_rate, indel_rate)
         if qry.size == 0:
             qry = _BASES[rng.integers(0, 4, 1)]

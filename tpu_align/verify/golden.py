@@ -37,19 +37,26 @@ def generate_goldens(
     params: AlignmentParams | None = None,
     min_len: int = 8,
     max_len: int = 96,
+    local_mode: str = "single",
+    alphabet: str | None = None,
+    sub_rate: float = 0.05,
+    indel_rate: float = 0.02,
 ) -> tuple[str, str]:
     """Write input-data.txt + align-output.txt for an algorithm; returns
-    the two paths."""
+    the two paths.  local_mode="all" writes multi-path blocks (all
+    co-optimal paths); a reduced `alphabet` (e.g. "AT") makes ties rich."""
     from tpu_align.utils.synthetic import synthetic_dataset
 
     params = params or AlignmentParams()
     os.makedirs(out_dir, exist_ok=True)
     ds = synthetic_dataset(num_pairs, min_len=min_len, max_len=max_len,
-                           seed=seed)
+                           seed=seed, alphabet=alphabet,
+                           sub_rate=sub_rate, indel_rate=indel_rate)
     in_path = os.path.join(out_dir, "input-data.txt")
     out_path = os.path.join(out_dir, "align-output.txt")
     write_pair_file(in_path, list(ds.pairs()))
-    results = align_batch(algorithm, params, list(ds.pairs()), engine="scalar")
+    results = align_batch(algorithm, params, list(ds.pairs()), engine="scalar",
+                          local_mode=local_mode)
     with open(out_path, "w") as f:
         for r in results:
             f.write(r.block())
