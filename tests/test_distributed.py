@@ -127,3 +127,149 @@ def test_walk_sharded_matches_single_device():
                     for b in range(codes.shape[1])]
 
         assert seqs(packed, t) == seqs(px, tx)
+
+
+def test_merge_streams_without_loading_files(tmp_path):
+    """The k-way merge is streaming: many blocks, interleaved ids across
+    shards, output equals the globally sorted concatenation."""
+    from tpu_align.distributed import merge_output_files
+
+    n_shards, n_blocks = 3, 2000
+    paths = []
+    blocks = {}
+    for s in range(n_shards):
+        p = tmp_path / f"shard_{s}.txt"
+        with open(p, "w") as f:
+            for i in range(s, n_shards * n_blocks, n_shards):
+                b = f"{i} | {i % 7}\nAC_GT\n** *|\nACTGA\n"
+                blocks[i] = b
+                f.write(b)
+        paths.append(p)
+    out = tmp_path / "merged.txt"
+    merge_output_files(paths, out)
+    assert out.read_text() == "".join(blocks[i] for i in sorted(blocks))
+
+
+def test_merge_rejects_unsorted_shard(tmp_path):
+    from tpu_align.distributed import merge_output_files
+
+    p = tmp_path / "bad.txt"
+    p.write_text("2 | 5\nAA\n**\nAA\n1 | 5\nAA\n**\nAA\n")
+    with pytest.raises(ValueError, match="not sorted"):
+        merge_output_files([p], tmp_path / "out.txt")
+
+
+_CHILD_SCRIPT = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tpu_align.core.params import Algorithm
+from tpu_align.distributed import host_shard, renumber
+from tpu_align.io.bucketing import BucketSpec
+from tpu_align.runtime.engine import AlignmentEngine
+from tpu_align.utils import synthetic_dataset
+
+pi, pc, out_path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+ds = synthetic_dataset(24, min_len=5, max_len=20, seed=33)
+shard, ids = host_shard(ds, process_index=pi, process_count=pc)
+engine = AlignmentEngine(Algorithm.LNW,
+                         bucket_spec=BucketSpec(batch_pairs=32),
+                         output="records", interpret=True)
+out = engine.run(shard)
+renumber(out.results, ids)
+with open(out_path, "w") as f:
+    for r in sorted(out.results, key=lambda r: r.pair_num):
+        f.write(r.block())
+"""
+
+
+def test_two_process_multihost_flow(tmp_path):
+    """Real 2-process multihost simulation: separate OS processes each
+    run the engine on their host_shard (explicit process_index/count --
+    the pod flow minus the jax.distributed coordinator), renumber to
+    global ids, write per-host files; the parent k-way merges and the
+    result must byte-match a single-process run over the whole dataset."""
+    import subprocess
+    import sys as _sys
+
+    from tpu_align.distributed import merge_output_files
+    from tpu_align.io.bucketing import BucketSpec
+    from tpu_align.runtime.engine import AlignmentEngine
+
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD_SCRIPT)
+    paths = [tmp_path / f"host_{pi}.txt" for pi in range(2)]
+    procs = [
+        subprocess.Popen([_sys.executable, str(script), str(pi), "2",
+                          str(paths[pi])])
+        for pi in range(2)
+    ]
+    for pr in procs:
+        assert pr.wait(timeout=300) == 0
+    merged = tmp_path / "merged.txt"
+    merge_output_files(paths, merged)
+
+    ds = synthetic_dataset(24, min_len=5, max_len=20, seed=33)
+    want = AlignmentEngine(
+        Algorithm.LNW, bucket_spec=BucketSpec(batch_pairs=32),
+        output="records", interpret=True,
+    ).run(ds).output_text()
+    assert merged.read_text() == want
+
+
+@pytest.mark.parametrize("algo", [Algorithm.ANW, Algorithm.BSW])
+def test_fill_and_walk_sharded_all_aligners(algo):
+    """Sharded fill + device walk for the affine and banded aligners
+    (LNW/LSW covered above): scores match the oracle and the sharded
+    walk's per-lane move sequences equal the single-device walk's."""
+    from tpu_align.distributed import walk_sharded
+    from tpu_align.kernels.stagger import STRIPE_S
+    from tpu_align.traceback.device import device_traceback_moves, unpack_moves
+
+    mesh = make_pairs_mesh(jax.devices()[:8])
+    params = AlignmentParams()
+    ds = synthetic_dataset(64, min_len=16, max_len=48, seed=17)
+    spec = shard_bucket_spec(mesh, BucketSpec(batch_pairs=64,
+                                              query_multiple=64))
+    for bucket in bucketize(ds, spec):
+        scores, srow, scol, dirs = fill_sharded(
+            mesh, algo, params,
+            bucket.ref_tokens, bucket.qry_tokens, bucket.ref_len,
+            bucket.qry_len,
+        )
+        s = np.asarray(scores)
+        for row in range(bucket.num_real):
+            i = int(bucket.pair_ids[row])
+            want = align_pair(algo, params, *ds.pair(i), engine="scalar")
+            assert int(s[row]) == want.score, (row, int(s[row]), want.score)
+        packed, t = walk_sharded(mesh, algo, params, dirs, srow, scol,
+                                 scores, STRIPE_S)
+        px, tx = device_traceback_moves(
+            algo, params, np.asarray(dirs), np.asarray(srow),
+            np.asarray(scol), np.asarray(scores), STRIPE_S, walker="xla")
+
+        def seqs(p, steps):
+            codes = unpack_moves(p, steps)
+            return [tuple(c for c in codes[:, b] if c)
+                    for b in range(codes.shape[1])]
+
+        assert seqs(packed, t) == seqs(px, tx)
+
+
+@pytest.mark.parametrize("algo,traceback", [
+    (Algorithm.LNW, "device"),
+    (Algorithm.ANW, "host"),
+    (Algorithm.BSW, "device"),
+])
+def test_engine_sharded_matches_single_device(algo, traceback):
+    """Engine-level sharded run: mesh=... must produce byte-identical
+    output to the single-device engine (full pipeline under shard_map)."""
+    from tpu_align.runtime.engine import AlignmentEngine
+
+    mesh = make_pairs_mesh(jax.devices()[:8])
+    ds = synthetic_dataset(48, min_len=12, max_len=40, seed=19)
+    kwargs = dict(bucket_spec=BucketSpec(batch_pairs=64),
+                  traceback=traceback, output="blocks")
+    got = AlignmentEngine(algo, mesh=mesh, **kwargs).run(ds).output_text()
+    want = AlignmentEngine(algo, **kwargs).run(ds).output_text()
+    assert got == want

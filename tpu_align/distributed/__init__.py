@@ -6,9 +6,11 @@ from tpu_align.distributed.sharding import (
     make_pairs_mesh,
     shard_bucket_spec,
     walk_sharded,
+    walk_sharded_dispatch,
 )
 from tpu_align.distributed.multihost import (
     host_shard,
+    iter_output_blocks,
     initialize,
     merge_output_files,
     renumber,
@@ -20,7 +22,9 @@ __all__ = [
     "make_pairs_mesh",
     "shard_bucket_spec",
     "walk_sharded",
+    "walk_sharded_dispatch",
     "host_shard",
+    "iter_output_blocks",
     "initialize",
     "merge_output_files",
     "renumber",

@@ -22,11 +22,12 @@ reduced on-device instead of via the merged files.
 
 from __future__ import annotations
 
+import heapq
+
 import jax
 import numpy as np
 
 from tpu_align.io.dataset import PairDataset
-from tpu_align.utils.reorder import reorder_output
 
 
 def initialize(coordinator_address: str | None = None,
@@ -66,8 +67,54 @@ def renumber(results, global_ids: np.ndarray):
     return results
 
 
+def iter_output_blocks(path):
+    """Stream (pair_id, block_text) from an output-block file.
+
+    A block is a "<pairNum> | <score>" header line plus every following
+    line up to the next header.  Body lines can never alias a header:
+    alignment lines contain only bases/'_' and relation lines only
+    '*', '|', ' ' (the pair-number integer check rejects both).  Memory
+    is one block, not the file."""
+    key = None
+    current: list[str] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split(" | ")
+            if len(parts) == 2 and parts[0].strip().lstrip("-").isdigit():
+                if key is not None:
+                    yield key, "".join(current)
+                key = int(parts[0])
+                current = [line]
+            elif key is not None:
+                current.append(line)
+        if key is not None:
+            yield key, "".join(current)
+
+
+def _checked_stream(path):
+    last = None
+    for k, block in iter_output_blocks(path):
+        if last is not None and k < last:
+            raise ValueError(
+                f"{path} is not sorted by pair id ({k} after {last}); "
+                "per-host shard outputs are pair-id-ordered by construction "
+                "(engine sorts results) -- for arbitrary interleavings use "
+                "tpu_align.utils.reorder_output on the concatenation")
+        last = k
+        yield k, block
+
+
 def merge_output_files(paths, out_path) -> None:
-    """Merge per-host output-block files into one file ordered by pair id."""
-    text = "".join(open(p).read() for p in paths)
+    """Merge per-host output-block files into one file ordered by pair id.
+
+    Streaming k-way merge (the scripts/reorderOutput.py job done at
+    scale): each input is read one block at a time and blocks are emitted
+    through a k-entry heap, so peak memory is one block per input stream
+    regardless of file sizes -- multi-GB per-host outputs merge in O(1)
+    memory.  Inputs must each be pair-id-sorted (host_shard + the
+    engine's result ordering guarantee this); violations raise instead
+    of silently mis-merging."""
+    streams = [_checked_stream(p) for p in paths]
     with open(out_path, "w") as f:
-        f.write(reorder_output(text))
+        for _, block in heapq.merge(*streams, key=lambda kb: kb[0]):
+            f.write(block)

@@ -75,10 +75,13 @@ def fill_sharded(
     Inputs are host-global (B, ...) arrays with B divisible by
     8 * mesh size; outputs are global arrays sharded on the batch axis.
     Returns (scores, start_row, start_col, dirs-or-None) as JAX arrays.
-    kernel selects the fill formulation ("stagger" default, "rowscan").
+    kernel selects the fill formulation ("stagger" default, "rowscan",
+    or "banded" -- forced for the banded aligner).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if algorithm.is_banded:
+        kernel = "banded"
     b = ref_tokens.shape[0]
     n_dev = mesh.devices.size
     if b % (8 * n_dev):
@@ -88,7 +91,8 @@ def fill_sharded(
     out_specs = (P(PAIRS_AXIS), P(PAIRS_AXIS), P(PAIRS_AXIS))
     if with_traceback:
         # direction words: stagger (stripes, W, S, B) -- batch on axis 3;
-        # rowscan word-major (MW, B, N) -- batch on axis 1
+        # rowscan word-major (MW, B, N) and banded skewed (MW, B, K8) --
+        # batch on axis 1
         out_specs += ((P(None, None, None, PAIRS_AXIS),) if stagger
                       else (P(None, PAIRS_AXIS, None),))
 
@@ -102,11 +106,18 @@ def fill_sharded(
     )
     def _local_fill(rt, qt, rl, ql):
         lb = rt.shape[0]
-        fill = _fill_stagger_jit if stagger else _fill_jit
-        scores, srow, scol, dirs = fill(
-            algorithm, params, rt, qt, rl, ql,
-            with_traceback=with_traceback, interpret=interpret,
-        )
+        if kernel == "banded":
+            from tpu_align.kernels.banded import _fill_banded_jit
+            scores, srow, scol, dirs = _fill_banded_jit(
+                params, rt, qt, rl, ql,
+                with_traceback=with_traceback, interpret=interpret,
+            )
+        else:
+            fill = _fill_stagger_jit if stagger else _fill_jit
+            scores, srow, scol, dirs = fill(
+                algorithm, params, rt, qt, rl, ql,
+                with_traceback=with_traceback, interpret=interpret,
+            )
         # the kernel pads each shard to full 128-lane tiles internally;
         # slice back so shard concatenation preserves global pair order
         scores, srow, scol = scores[:lb], srow[:lb], scol[:lb]
@@ -124,7 +135,7 @@ def fill_sharded(
     return outs + (None,)
 
 
-def walk_sharded(
+def walk_sharded_dispatch(
     mesh: Mesh,
     algorithm: Algorithm,
     params: AlignmentParams,
@@ -135,46 +146,71 @@ def walk_sharded(
     chip walks its own shard of the stagger direction words (the walk is
     per-pair independent), so the full V8 pipeline -- fill + on-device
     walk -- runs sharded and only packed move streams leave the devices.
+    Returns a handle for traceback.device.device_walk_finalize (the same
+    doubling-retry contract as the single-device dispatch).
 
     Each shard phases independently (like the Pallas walker's lane
     groups), so stream POSITIONS differ across shards; per-lane move
     sequences are the contract.  Returns (packed (T16, B) np, steps int);
-    retries with a doubled phase budget on exhaustion (pmax-reduced)."""
+    retries with a doubled phase budget on exhaustion (pmax-reduced).
+
+    The banded aligner walks its skewed (MW, B, K8) dirs with the banded
+    walker (stripe_s is ignored)."""
     from tpu_align.kernels.fill import bits_per_cell
     from tpu_align.traceback.device import (
         _device_walk,
+        _device_walk_banded,
         _walk_phase_budget,
     )
 
-    stripes, W, _, _ = dirs.shape
-    spw = 32 // bits_per_cell(algorithm)
-    t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
+    if algorithm.is_banded:
+        mw, _, k8 = dirs.shape
+        t_max = _walk_phase_budget(mw * 16, k8, 1)
+        dirs_spec = P(None, PAIRS_AXIS, None)
+        local = lambda d, sr, sc, s, t: _device_walk_banded(  # noqa: E731
+            params, d, sr, sc, s, t)
+    else:
+        stripes, W, _, _ = dirs.shape
+        spw = 32 // bits_per_cell(algorithm)
+        t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
+        dirs_spec = P(None, None, None, PAIRS_AXIS)
+        local = lambda d, sr, sc, s, t: _device_walk(  # noqa: E731
+            algorithm, params, d, sr, sc, s, stripe_s, t)
 
     def _run(t_max):
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(None, None, None, PAIRS_AXIS), P(PAIRS_AXIS),
-                      P(PAIRS_AXIS), P(PAIRS_AXIS)),
+            in_specs=(dirs_spec, P(PAIRS_AXIS), P(PAIRS_AXIS),
+                      P(PAIRS_AXIS)),
             out_specs=(P(None, PAIRS_AXIS), P()),
             check_vma=False,
         )
         def _local_walk(d, sr, sc, s):
-            packed, t = _device_walk(algorithm, params, d, sr, sc, s,
-                                     stripe_s, t_max)
+            packed, t = local(d, sr, sc, s, t_max)
             return packed, jax.lax.pmax(t, PAIRS_AXIS)
 
         return _local_walk(dirs, jnp.asarray(start_row),
                            jnp.asarray(start_col), jnp.asarray(scores))
 
-    import numpy as np
+    packed, t = _run(t_max)
+    return _run, packed, t, t_max
 
-    for _ in range(32):
-        packed, t = _run(t_max)
-        packed_np, t = jax.device_get((packed, t))
-        if int(t) < t_max - 1:
-            return np.asarray(packed_np), int(t)
-        t_max *= 2
-    raise RuntimeError("sharded walk failed to converge")  # pragma: no cover
+
+def walk_sharded(
+    mesh: Mesh,
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    dirs, start_row, start_col, scores,
+    stripe_s: int,
+):
+    """Blocking sharded device walk: dispatch + finalize (doubling the
+    phase budget on exhaustion).  Returns (packed (T16, B) np, steps)."""
+    from tpu_align.traceback.device import device_walk_finalize
+
+    return device_walk_finalize(walk_sharded_dispatch(
+        mesh, algorithm, params, dirs, start_row, start_col, scores,
+        stripe_s,
+    ))
 
 
 def global_stats(mesh: Mesh, scores, cells):

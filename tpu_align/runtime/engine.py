@@ -180,6 +180,7 @@ class AlignmentEngine:
         traceback: str = "host",
         walker: str = "xla",
         output: str = "records",
+        mesh=None,
     ):
         """local_mode (local aligners only): "single" follows the CUDA host
         semantics (one path from the first row-major max cell); "all"
@@ -224,7 +225,15 @@ class AlignmentEngine:
         EngineResult carries one pair-ordered byte stream
         (EngineResult.blocks / output_bytes()) -- byte-identical to the
         "records" text but with no Python-string printing cost.
-        Incompatible with checkpoint_dir (which persists records)."""
+        Incompatible with checkpoint_dir (which persists records).
+
+        mesh: a jax.sharding.Mesh (distributed.make_pairs_mesh) runs every
+        bucket's fill -- and device walk, when traceback="device" -- data
+        parallel over the mesh's `pairs` axis (shard_map; pure data
+        parallelism, collectives only in global_stats).  The bucket spec
+        is adjusted so batches divide the mesh; output stays
+        byte-identical to the single-device run.  Device traceback over a
+        mesh uses the XLA walker."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
@@ -261,6 +270,14 @@ class AlignmentEngine:
         if output not in ("records", "blocks"):
             raise ValueError(f"unknown output mode {output!r}")
         self.output = output
+        self.mesh = mesh
+        if mesh is not None:
+            if traceback == "device" and walker != "xla":
+                raise ValueError(
+                    "mesh + traceback='device' uses the XLA walker (the "
+                    "Pallas walk kernel is not shard_map-wrapped)")
+            from tpu_align.distributed.sharding import shard_bucket_spec
+            self.bucket_spec = shard_bucket_spec(mesh, self.bucket_spec)
 
     def _oracle_fallback(self, ds: PairDataset, i: int) -> AlignmentResult:
         ref, qry = ds.pair(i)
@@ -273,7 +290,16 @@ class AlignmentEngine:
         """Dispatch one bucket's fill.  BSW takes the skewed banded
         fast-path kernel (O(M*2band) work instead of O(M*N)); the other
         aligners take the stagger wavefront kernel unless kernel="rowscan"
-        was requested."""
+        was requested.  With a mesh, the fill runs shard_map data-parallel
+        over the `pairs` axis."""
+        if self.mesh is not None:
+            from tpu_align.distributed.sharding import fill_sharded
+            return fill_sharded(
+                self.mesh, self.algorithm, self.params,
+                b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len,
+                with_traceback=self.with_traceback, interpret=self.interpret,
+                kernel=self.kernel,
+            )
         if self.algorithm is Algorithm.BSW:
             return fill_banded_bucket_async(
                 self.params, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len,
@@ -285,6 +311,22 @@ class AlignmentEngine:
             self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
             b.ref_len, b.qry_len,
             with_traceback=self.with_traceback, interpret=self.interpret,
+        )
+
+    def _walk_dispatch(self, outs):
+        """Dispatch the on-device walk behind a bucket's fill; returns a
+        device_walk_finalize handle.  Sharded when the engine has a mesh."""
+        if self.mesh is not None:
+            from tpu_align.distributed.sharding import walk_sharded_dispatch
+            return walk_sharded_dispatch(
+                self.mesh, self.algorithm, self.params, outs[3], outs[1],
+                outs[2], outs[0], STRIPE_S,
+            )
+        from tpu_align.traceback.device import device_walk_dispatch
+
+        return device_walk_dispatch(
+            self.algorithm, self.params, outs[3], outs[1], outs[2],
+            outs[0], STRIPE_S, walker=self.walker,
         )
 
     def warmup(self, ds: PairDataset) -> None:
@@ -302,15 +344,9 @@ class AlignmentEngine:
             outs = self._dispatch(b)
             if (self.traceback_mode == "device" and self.with_traceback
                     and outs[3] is not None):
-                from tpu_align.traceback.device import (
-                    device_walk_dispatch,
-                    device_walk_finalize,
-                )
+                from tpu_align.traceback.device import device_walk_finalize
 
-                device_walk_finalize(device_walk_dispatch(
-                    self.algorithm, self.params, outs[3], outs[1], outs[2],
-                    outs[0], STRIPE_S, walker=self.walker,
-                ))
+                device_walk_finalize(self._walk_dispatch(outs))
             jax.block_until_ready([o for o in outs if o is not None])
 
     def _bucket_key(self, b: Bucket) -> str:
@@ -459,14 +495,7 @@ class AlignmentEngine:
                     outs = self._dispatch(b)
                     handle = None
                     if device_tb and outs[3] is not None:
-                        from tpu_align.traceback.device import (
-                            device_walk_dispatch,
-                        )
-
-                        handle = device_walk_dispatch(
-                            self.algorithm, self.params, outs[3], outs[1],
-                            outs[2], outs[0], STRIPE_S, walker=self.walker,
-                        )
+                        handle = self._walk_dispatch(outs)
                     launches.append((b, outs, handle))
                 next_up += 1
 
