@@ -40,7 +40,7 @@ BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
 
 
 def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
-              batch_pairs=32768, iters=3, algorithm="lnw", verbose=True,
+              batch_pairs=32768, iters=5, algorithm="lnw", verbose=True,
               profile_dir=None, kernel="auto", stripe=None):
     from tpu_align.utils.cache import enable_compile_cache
 
@@ -138,12 +138,23 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
             f"{ds.num_cells / times[-1] / 1e9:.1f} GCUPS")
     best = min(times)
     gcups = ds.num_cells / best / 1e9
+    # multi-run statistics (the reference commits 10 runs/version in
+    # Timing_Analysis.xlsx): per-iteration GCUPS samples + mean +- spread
+    # alongside the best-of headline
+    g_samples = [ds.num_cells / t / 1e9 for t in times]
+    g_mean = sum(g_samples) / len(g_samples)
+    g_std = (sum((g - g_mean) ** 2 for g in g_samples)
+             / max(len(g_samples) - 1, 1)) ** 0.5
     return {
         "metric": f"{algo.value}_fill_gcups",
         "value": round(gcups, 2),
         "unit": "GCUPS/chip",
         "vs_baseline": round(gcups / BASELINE_GCUPS_H100, 3),
+        "gcups_mean": round(g_mean, 2),
+        "gcups_std": round(g_std, 2),
+        "gcups_samples": [round(g, 1) for g in g_samples],
         "kernel_ms": round(best * 1e3, 1),
+        "kernel_ms_samples": [round(t * 1e3, 2) for t in times],
         "pairs_per_sec": round(num_pairs / best),
         "num_pairs": num_pairs,
         "seq_len": seq_len,
@@ -156,7 +167,7 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
 
 def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
                      algorithm="lnw", verbose=True, traceback_mode="host",
-                     walker="xla", output="blocks"):
+                     walker="xla", output="blocks", runs=3):
     """End-to-end engine run (fill + traceback + formatting) with the V19
     phase breakdown; emits a record consumable by
     tpu_align.utils.timing_analysis.  traceback_mode='device' exercises
@@ -181,17 +192,26 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         output=output,
     )
     engine.warmup(ds)
-    t0 = time.perf_counter()
-    out = engine.run(ds)
-    with out.timer.phase("printing"):
-        data = out.output_bytes()
-    total = time.perf_counter() - t0
+    totals = []
+    for _ in range(max(runs, 1)):
+        t0 = time.perf_counter()
+        out = engine.run(ds)
+        with out.timer.phase("printing"):
+            data = out.output_bytes()
+        totals.append(time.perf_counter() - t0)
+        log(f"run {len(totals)}: {totals[-1]:.3f}s")
+    total = min(totals)
+    mean = sum(totals) / len(totals)
+    spread = max(totals) - min(totals)
     log(out.timer.report())
     return {
         "metric": f"{algo.value}_e2e_pairs_per_sec",
         "value": round(num_pairs / total),
         "unit": "pairs/sec",
         "vs_baseline": round((num_pairs / total) / (100_000 / 0.4406), 3),
+        "total_s_samples": [round(t, 4) for t in totals],
+        "total_s_mean": round(mean, 4),
+        "total_s_spread": round(spread, 4),
         "label": f"{algo.value}-e2e-{traceback_mode}"
                  + (f"-{walker}" if traceback_mode == "device" else "")
                  + ("-records" if output == "records" else ""),
@@ -272,7 +292,11 @@ def main():
     ap.add_argument("--pairs", type=int, default=100_000)
     ap.add_argument("--len", type=int, dest="seq_len", default=250)
     ap.add_argument("--batch", type=int, default=32768)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5,
+                    help="fill-bench timing iterations (samples for "
+                         "mean +- spread; headline is the best)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="engine-bench end-to-end repetitions")
     ap.add_argument("--algorithm", default="lnw")
     ap.add_argument("--kernel", default="auto",
                     choices=["auto", "stagger", "rowscan", "banded"],
@@ -309,7 +333,7 @@ def main():
             num_pairs=args.pairs, seq_len=args.seq_len,
             batch_pairs=args.batch, algorithm=args.algorithm,
             verbose=not args.quiet, traceback_mode=args.traceback,
-            walker=args.walker, output=args.output,
+            walker=args.walker, output=args.output, runs=args.runs,
         )
     else:
         run = lambda: run_bench(  # noqa: E731

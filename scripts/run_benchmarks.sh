@@ -28,10 +28,18 @@ run --pairs 1536 --len 2048 --batch 1536
 run --engine --pairs 20000
 run --engine --pairs 20000 --output records
 run --engine --pairs 20000 --traceback device
+run --engine --pairs 20000 --traceback device --output records
 run --engine --pairs 20000 --traceback device --walker pallas
 run --engine --pairs 20000 --algorithm bsw --traceback device
 # long-pair Hirschberg (no direction storage)
 timeout 3000 python scripts/bench_long.py --qry 16384 --ref 4096 >> "$out" \
   || echo "FAILED: bench_long" >&2
+# many-long-pairs Hirschberg: level-batched across pairs vs serial loop
+timeout 6000 python scripts/bench_long.py --batch 64 --qry 16384 \
+  --ref 16384 >> "$out" || echo "FAILED: bench_long --batch" >&2
+# sharded pairs/sec at mesh size 1 on the real chip (scaling table rows
+# at 2/4/8 come from the virtual CPU mesh: bench_scaling.py --cpu 8)
+timeout 3000 python scripts/bench_scaling.py >> "$out" \
+  || echo "FAILED: bench_scaling" >&2
 python -m tpu_align.utils.timing_analysis "$out" bench_breakdown.png || true
 echo "wrote $out"

@@ -279,3 +279,24 @@ def test_hirschberg_anw_gap_bridges():
         _check_lines(got, ref, qry)
         assert (_rescore_affine(p, got.ref_aligned, got.query_aligned)
                 == want.score)
+
+
+@pytest.mark.parametrize("algo", [Algorithm.LNW, Algorithm.LSW, Algorithm.ANW])
+def test_hirschberg_batch_matches_per_pair(algo):
+    """Level-batching ACROSS pairs must not change any pair's output: the
+    split argmaxes depend only on that pair's own (exact) last rows, so
+    the batch result byte-equals the one-pair-at-a-time result."""
+    from tpu_align.traceback.hirschberg import hirschberg_align_batch
+    from tpu_align.utils import synthetic_dataset
+
+    p = AlignmentParams()
+    ds = synthetic_dataset(12, min_len=20, max_len=90, seed=5)
+    pairs = list(ds.pairs())
+    batch = hirschberg_align_batch(algo, p, pairs, leaf_q=16, interpret=True)
+    for i, (ref, qry) in enumerate(pairs):
+        single = hirschberg_align(algo, p, ref, qry, pair_num=i, leaf_q=16,
+                                  interpret=True)
+        got = batch[i]
+        assert (got.score, got.ref_aligned, got.relation, got.query_aligned) \
+            == (single.score, single.ref_aligned, single.relation,
+                single.query_aligned), i

@@ -427,19 +427,19 @@ class AlignmentEngine:
             return EngineResult(results, timer, ds.num_cells)
         if self.traceback_mode == "hirschberg" and self.with_traceback:
             # O(M+N)-memory traceback: no direction tensor exists in any
-            # memory (traceback/hirschberg.py).  Meant for FEW, LONG pairs
-            # (each pair recurses with level-batched last-row fills); for
-            # read-scale workloads the packed-dirs modes are faster.
-            from tpu_align.traceback.hirschberg import hirschberg_align
+            # memory (traceback/hirschberg.py).  Meant for LONG pairs; the
+            # recursion is level-batched ACROSS pairs (all pairs' same-depth
+            # subproblems share one fill), so a many-long-pairs dataset
+            # does not serialize per pair.  For read-scale workloads the
+            # packed-dirs modes are still faster (one fill, no recursion).
+            from tpu_align.traceback.hirschberg import hirschberg_align_batch
 
-            results = []
             with timer.phase("backtrack"):
-                for i in range(len(ds)):
-                    ref, qry = ds.pair(i)
-                    results.append(hirschberg_align(
-                        self.algorithm, self.params, ref, qry, pair_num=i,
-                        interpret=self.interpret,
-                    ))
+                results = hirschberg_align_batch(
+                    self.algorithm, self.params,
+                    [ds.pair(i) for i in range(len(ds))],
+                    interpret=self.interpret,
+                )
             with timer.phase("printing"):
                 results.sort(key=lambda r: r.pair_num)
                 if collector is not None:

@@ -78,17 +78,19 @@ def _batch_problems(probs):
     return refs, qrys, rlen, qlen
 
 
-def _split_level(params, subs, ref_t, qry_t, interpret):
-    """Split every open subproblem (qi, qj, ri, rj) at its query midrow.
+def _split_level(params, subs, interpret):
+    """Split every open subproblem at its query midrow.
 
-    One batched last-row fill serves the whole level: problem 2k is the
-    forward top half, problem 2k+1 the reversed bottom half.  Returns
-    (mids, split columns) -- the optimal path passes through
-    (mid, split) of each subproblem.
+    subs: list of (ref_t, qry_t, (qi, qj, ri, rj)) -- possibly spanning
+    DIFFERENT pairs (the engine merges same-level subproblems of a whole
+    long-read dataset into this one call).  One batched last-row fill
+    serves the entire level: problem 2k is the forward top half, problem
+    2k+1 the reversed bottom half.  Returns (mids, split columns) -- the
+    optimal path passes through (mid, split) of each subproblem.
     """
     probs = []
     mids = []
-    for (qi, qj, ri, rj) in subs:
+    for ref_t, qry_t, (qi, qj, ri, rj) in subs:
         mid = (qi + qj) // 2
         mids.append(mid)
         probs.append((ref_t[ri:rj], qry_t[qi:mid]))
@@ -100,7 +102,7 @@ def _split_level(params, subs, ref_t, qry_t, interpret):
     hlast = np.asarray(hlast).astype(np.int64)  # one D2H per level
     g = params.gap
     splits = []
-    for k, (qi, qj, ri, rj) in enumerate(subs):
+    for k, (ref_t, qry_t, (qi, qj, ri, rj)) in enumerate(subs):
         nn = rj - ri
         mid = mids[k]
         # column 0 border is analytic: H[qlen][0] = qlen * gap
@@ -110,15 +112,16 @@ def _split_level(params, subs, ref_t, qry_t, interpret):
     return mids, splits
 
 
-def _leaf_lines(params, leaves, ref_t, qry_t, interpret):
-    """Align every leaf segment with the standard engine (fill + packed-dirs
-    traceback) and concatenate the three lines in leaf order."""
+def _leaf_lines_batch(params, leaves, interpret):
+    """Align leaf segments -- (ref_t, qry_t, (qi, qj, ri, rj)) from any
+    number of pairs -- with ONE standard engine run (fill + packed-dirs
+    traceback); returns the per-leaf 3-tuples in input order."""
     from tpu_align.io.dataset import PairDataset
     from tpu_align.runtime.engine import AlignmentEngine
 
     pairs = []
     out: dict[int, tuple[str, str, str]] = {}
-    for idx, (qi, qj, ri, rj) in enumerate(leaves):
+    for idx, (ref_t, qry_t, (qi, qj, ri, rj)) in enumerate(leaves):
         rseg = ref_t[ri:rj].tobytes().decode("ascii")
         qseg = qry_t[qi:qj].tobytes().decode("ascii")
         if not rseg and not qseg:
@@ -135,37 +138,67 @@ def _leaf_lines(params, leaves, ref_t, qry_t, interpret):
         res = eng.run(ds).results  # sorted by pair_num = position in pairs
         for (idx, _, _), r in zip(pairs, res):
             out[idx] = (r.ref_aligned, r.relation, r.query_aligned)
-    lines = [out[i] for i in range(len(leaves))]
-    return ("".join(x[0] for x in lines), "".join(x[1] for x in lines),
-            "".join(x[2] for x in lines))
+    return [out[i] for i in range(len(leaves))]
 
 
-def _global_lines(params, ref_t, qry_t, leaf_q, interpret):
-    """Hirschberg recursion for a global LNW alignment of token arrays.
+def _global_lines_batch(params, seqs, leaf_q, interpret):
+    """Hirschberg recursion for global LNW alignments of MANY pairs.
 
-    Level-synchronous: all open subproblems of a depth split in ONE
-    batched fill (the level's total cells halve each depth, its batch
-    doubles -- lane utilization grows as the work shrinks)."""
-    # ordered worklist; each entry is ["open"|"leaf", (qi, qj, ri, rj)]
+    seqs: list of (ref_t, qry_t).  Level-synchronous ACROSS pairs: every
+    open subproblem of every pair at a given depth splits in ONE batched
+    fill, and all leaves of all pairs run through one engine batch -- a
+    64-pair 16kbp dataset fills with 128-wide batches instead of
+    serializing 64 single-pair recursions (each level's total cells halve
+    while its batch doubles, so lane utilization grows as work shrinks).
+    Returns one (ref, rel, qry) line 3-tuple per pair."""
     def settle(seg):
         qi, qj, ri, rj = seg
         return "leaf" if (qj - qi <= leaf_q or rj == ri) else "open"
 
-    root = (0, qry_t.size, 0, ref_t.size)
-    items = [[settle(root), root]]
-    while any(k == "open" for k, _ in items):
-        open_idx = [i for i, (k, _) in enumerate(items) if k == "open"]
-        subs = [items[i][1] for i in open_idx]
-        mids, splits = _split_level(params, subs, ref_t, qry_t, interpret)
-        # replace back-to-front so earlier indices stay valid
-        for i, mid, js in zip(reversed(open_idx), reversed(mids),
-                              reversed(splits)):
+    # one ordered worklist per pair; entries ["open"|"leaf", (qi,qj,ri,rj)]
+    worklists = []
+    for ref_t, qry_t in seqs:
+        root = (0, qry_t.size, 0, ref_t.size)
+        worklists.append([[settle(root), root]])
+    while True:
+        open_refs = [
+            (p, i)
+            for p, items in enumerate(worklists)
+            for i, (kind, _) in enumerate(items) if kind == "open"
+        ]
+        if not open_refs:
+            break
+        subs = [(seqs[p][0], seqs[p][1], worklists[p][i][1])
+                for p, i in open_refs]
+        mids, splits = _split_level(params, subs, interpret)
+        # replace back-to-front within each pair so indices stay valid
+        for (p, i), mid, js in sorted(zip(open_refs, mids, splits),
+                                      key=lambda t: (t[0][0], -t[0][1])):
+            items = worklists[p]
             qi, qj, ri, rj = items[i][1]
             left = (qi, mid, ri, js)
             right = (mid, qj, js, rj)
             items[i:i + 1] = [[settle(left), left], [settle(right), right]]
-    return _leaf_lines(params, [e for _, e in items], ref_t, qry_t,
-                       interpret)
+    leaves = [
+        (seqs[p][0], seqs[p][1], e)
+        for p, items in enumerate(worklists) for _, e in items
+    ]
+    lines = _leaf_lines_batch(params, leaves, interpret)
+    out = []
+    pos = 0
+    for items in worklists:
+        chunk = lines[pos: pos + len(items)]
+        pos += len(items)
+        out.append(("".join(x[0] for x in chunk),
+                    "".join(x[1] for x in chunk),
+                    "".join(x[2] for x in chunk)))
+    return out
+
+
+def _global_lines(params, ref_t, qry_t, leaf_q, interpret):
+    """Single-pair wrapper over the batched recursion."""
+    return _global_lines_batch(params, [(ref_t, qry_t)], leaf_q,
+                               interpret)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -206,19 +239,20 @@ def _one_row_lines(params, rseg, qc, tb, te):
     return GAP + rstr, " " * (n + 1), qch + GAP * n
 
 
-def _affine_split_level(params, subs, ref_t, qry_t, interpret):
+def _affine_split_level(params, subs, interpret):
     """Myers-Miller split for every open (qi, qj, ri, rj, tb, te).
 
-    One batched credited last-row fill serves the level (problem 2k =
-    forward top half with open_top=tb, 2k+1 = reversed bottom half with
-    open_top=te).  Each sub resolves to a piece list: two child subs
+    subs: list of (ref_t, qry_t, sub6) -- possibly spanning different
+    pairs.  One batched credited last-row fill serves the level (problem
+    2k = forward top half with open_top=tb, 2k+1 = reversed bottom half
+    with open_top=te).  Each sub resolves to a piece list: two child subs
     (type-1 crossing, H + H), or child/bridge-lines/child (type-2: the
     path crosses the midrow INSIDE a vertical gap -- rows mid and mid+1
     are forced deletions and the halves get a free open at the shared
     boundary, Myers & Miller 1988)."""
     go, ge = params.gap_open, params.gap_extend
     probs, opens = [], []
-    for (qi, qj, ri, rj, tb, te) in subs:
+    for ref_t, qry_t, (qi, qj, ri, rj, tb, te) in subs:
         mid = (qi + qj) // 2
         probs.append((ref_t[ri:rj], qry_t[qi:mid]))
         opens.append(tb)
@@ -234,7 +268,7 @@ def _affine_split_level(params, subs, ref_t, qry_t, interpret):
     hlast = np.asarray(hlast).astype(np.int64)
     flast = np.asarray(flast).astype(np.int64)
     pieces = []
-    for k, (qi, qj, ri, rj, tb, te) in enumerate(subs):
+    for k, (ref_t, qry_t, (qi, qj, ri, rj, tb, te)) in enumerate(subs):
         nn = rj - ri
         mid = (qi + qj) // 2
         mtop, mbot = mid - qi, qj - mid  # both >= 1 for an open sub
@@ -264,11 +298,12 @@ def _affine_split_level(params, subs, ref_t, qry_t, interpret):
     return pieces
 
 
-def _affine_lines(params, ref_t, qry_t, leaf_q, interpret):
-    """Myers-Miller recursion for a global ANW alignment of token arrays."""
+def _affine_lines_batch(params, seqs, leaf_q, interpret):
+    """Myers-Miller recursion for global ANW alignments of MANY pairs;
+    level-synchronous across pairs like _global_lines_batch."""
     go = params.gap_open
 
-    def settle(sub):
+    def settle(ref_t, qry_t, sub):
         qi, qj, ri, rj, tb, te = sub
         qlen, rlen = qj - qi, rj - ri
         if qlen == 0:
@@ -287,60 +322,99 @@ def _affine_lines(params, ref_t, qry_t, leaf_q, interpret):
             return ["engine", (qi, qj, ri, rj)]
         return ["open", sub]
 
-    items = [settle((0, qry_t.size, 0, ref_t.size, go, go))]
-    while any(k == "open" for k, _ in items):
-        open_idx = [i for i, (k, _) in enumerate(items) if k == "open"]
-        subs = [items[i][1] for i in open_idx]
-        pieces = _affine_split_level(params, subs, ref_t, qry_t, interpret)
-        for i, piece in zip(reversed(open_idx), reversed(pieces)):
-            items[i:i + 1] = [
-                x if isinstance(x, list) else settle(x) for x in piece
+    worklists = [
+        [settle(r, q, (0, q.size, 0, r.size, go, go))] for r, q in seqs
+    ]
+    while True:
+        open_refs = [
+            (p, i)
+            for p, items in enumerate(worklists)
+            for i, (kind, _) in enumerate(items) if kind == "open"
+        ]
+        if not open_refs:
+            break
+        subs = [(seqs[p][0], seqs[p][1], worklists[p][i][1])
+                for p, i in open_refs]
+        pieces = _affine_split_level(params, subs, interpret)
+        for (p, i), piece in sorted(zip(open_refs, pieces),
+                                    key=lambda t: (t[0][0], -t[0][1])):
+            ref_t, qry_t = seqs[p]
+            worklists[p][i:i + 1] = [
+                x if isinstance(x, list) else settle(ref_t, qry_t, x)
+                for x in piece
             ]
-    eng_idx = [i for i, (k, _) in enumerate(items) if k == "engine"]
-    if eng_idx:
+    eng_refs = [
+        (p, i)
+        for p, items in enumerate(worklists)
+        for i, (kind, _) in enumerate(items) if kind == "engine"
+    ]
+    if eng_refs:
         from tpu_align.io.dataset import PairDataset
         from tpu_align.runtime.engine import AlignmentEngine
 
-        segs = [items[i][1] for i in eng_idx]
         ds = PairDataset.from_pairs([
-            (ref_t[ri:rj].tobytes().decode("ascii"),
-             qry_t[qi:qj].tobytes().decode("ascii"))
-            for (qi, qj, ri, rj) in segs
+            (seqs[p][0][ri:rj].tobytes().decode("ascii"),
+             seqs[p][1][qi:qj].tobytes().decode("ascii"))
+            for p, i in eng_refs
+            for (qi, qj, ri, rj) in [worklists[p][i][1]]
         ])
         eng = AlignmentEngine(Algorithm.ANW, params, interpret=interpret)
-        for i, r in zip(eng_idx, eng.run(ds).results):
-            items[i] = ["lines",
-                        (r.ref_aligned, r.relation, r.query_aligned)]
-    parts = [v for _, v in items]
-    return ("".join(x[0] for x in parts), "".join(x[1] for x in parts),
-            "".join(x[2] for x in parts))
+        for (p, i), r in zip(eng_refs, eng.run(ds).results):
+            worklists[p][i] = ["lines",
+                               (r.ref_aligned, r.relation, r.query_aligned)]
+    out = []
+    for items in worklists:
+        parts = [v for _, v in items]
+        out.append(("".join(x[0] for x in parts),
+                    "".join(x[1] for x in parts),
+                    "".join(x[2] for x in parts)))
+    return out
 
 
-def _local_endpoints(params, ref_t, qry_t, interpret):
-    """Locate a co-optimal local path's end and start cells with two
-    scores-only fills (forward; then reversed over the end cell's
-    prefix)."""
-    refs, qrys, rlen, qlen = _batch_problems([(ref_t, qry_t)])
+def _affine_lines(params, ref_t, qry_t, leaf_q, interpret):
+    """Single-pair wrapper over the batched Myers-Miller recursion."""
+    return _affine_lines_batch(params, [(ref_t, qry_t)], leaf_q,
+                               interpret)[0]
+
+
+def _local_endpoints_batch(params, seqs, interpret):
+    """Locate a co-optimal local path's end and start cells for MANY pairs
+    with two batched scores-only fills (one forward fill for all pairs;
+    one reversed fill over each end cell's prefix).  Returns a list of
+    (score, (sr, er, sc, ec) | None)."""
+    refs, qrys, rlen, qlen = _batch_problems(list(seqs))
     sc, er, ec, _ = fill_bucket_async(
         Algorithm.LSW, params, refs, qrys, rlen, qlen,
         with_traceback=False, interpret=interpret,
     )
-    score = int(np.asarray(sc)[0])
-    er, ec = int(np.asarray(er)[0]), int(np.asarray(ec)[0])
-    if score <= 0:
-        return score, None
-    rev = [(ref_t[:ec][::-1].copy(), qry_t[:er][::-1].copy())]
+    n = len(seqs)
+    scores = np.asarray(sc)[:n].astype(int)
+    ers = np.asarray(er)[:n].astype(int)
+    ecs = np.asarray(ec)[:n].astype(int)
+    live = [k for k in range(n) if scores[k] > 0]
+    out = [(int(scores[k]), None) for k in range(n)]
+    if not live:
+        return out
+    rev = [(seqs[k][0][: ecs[k]][::-1].copy(),
+            seqs[k][1][: ers[k]][::-1].copy()) for k in live]
     refs, qrys, rlen, qlen = _batch_problems(rev)
     sc2, rr, rc, _ = fill_bucket_async(
         Algorithm.LSW, params, refs, qrys, rlen, qlen,
         with_traceback=False, interpret=interpret,
     )
-    sc2, rr, rc = (int(np.asarray(x)[0]) for x in (sc2, rr, rc))
-    if sc2 != score:  # suffix max must equal the global max
-        raise RuntimeError(
-            f"LSW endpoint discovery: reversed-fill max {sc2} != forward "
-            f"local max {score}; fill kernel regression?")
-    return score, (er - rr, er, ec - rc, ec)  # qry [sr:er], ref [sc:ec]
+    sc2 = np.asarray(sc2).astype(int)
+    rr = np.asarray(rr).astype(int)
+    rc = np.asarray(rc).astype(int)
+    for j, k in enumerate(live):
+        if int(sc2[j]) != int(scores[k]):  # suffix max == the global max
+            raise RuntimeError(
+                f"LSW endpoint discovery (pair {k}): reversed-fill max "
+                f"{int(sc2[j])} != forward local max {int(scores[k])}; "
+                "fill kernel regression?")
+        out[k] = (int(scores[k]),
+                  (int(ers[k] - rr[j]), int(ers[k]),
+                   int(ecs[k] - rc[j]), int(ecs[k])))
+    return out  # qry [sr:er], ref [sc:ec]
 
 
 def hirschberg_align(
@@ -367,6 +441,29 @@ def hirschberg_align(
     leaf_q: subproblems with at most this many query rows run through the
     standard packed-dirs fill + traceback (the recursion base case).
     """
+    return hirschberg_align_batch(
+        algorithm, params, [(ref, qry)], pair_nums=[pair_num],
+        leaf_q=leaf_q, interpret=interpret,
+    )[0]
+
+
+def hirschberg_align_batch(
+    algorithm: Algorithm,
+    params: AlignmentParams | None,
+    pairs,
+    pair_nums=None,
+    leaf_q: int = 128,
+    interpret: bool | None = None,
+) -> list[AlignmentResult]:
+    """Align MANY pairs with no direction storage, level-batched ACROSS
+    pairs: every recursion depth's open subproblems -- of all pairs --
+    merge into one power-of-two-padded fill, and all leaves run through
+    one packed-dirs engine batch.  A many-long-pairs dataset therefore
+    fills with wide batches instead of serializing per-pair recursions
+    (the engine's traceback="hirschberg" path calls this).
+
+    pairs: [(ref, qry), ...]; pair_nums: result numbering (default
+    positional).  Same per-pair contract as hirschberg_align."""
     params = params or AlignmentParams()
     if algorithm is Algorithm.BSW:
         raise NotImplementedError(
@@ -375,7 +472,8 @@ def hirschberg_align(
         )
     if algorithm.is_affine and params.gap_open > 0:
         raise ValueError("ANW requires gap_open <= 0")
-    ref_t, qry_t = _tokens(ref), _tokens(qry)
+    if pair_nums is None:
+        pair_nums = list(range(len(pairs)))
     # The DP problem is symmetric under swapping the two sequences (the
     # relation line and score are invariant; the gap lines swap; for
     # affine the E and F matrices trade roles under the same weights), and
@@ -383,28 +481,41 @@ def hirschberg_align(
     # chain -- so solve with the SHORTER side as the kernel's reference
     # axis.  This puts the VMEM-capped (N, 128)-rows fill on min(M, N):
     # only the shorter side is capped (~32kbp), the longer is unbounded.
-    flip = ref_t.size > qry_t.size
-    if flip:
-        ref_t, qry_t = qry_t, ref_t
-
-    def result(score, r="", m="", q=""):
+    seqs, flips = [], []
+    for ref, qry in pairs:
+        ref_t, qry_t = _tokens(ref), _tokens(qry)
+        flip = ref_t.size > qry_t.size
         if flip:
+            ref_t, qry_t = qry_t, ref_t
+        seqs.append((ref_t, qry_t))
+        flips.append(flip)
+
+    def result(k, score, r="", m="", q=""):
+        if flips[k]:
             r, q = q, r
-        return AlignmentResult(pair_num, score, r, m, q)
+        return AlignmentResult(pair_nums[k], score, r, m, q)
 
     if algorithm is Algorithm.ANW:
-        r, m, q = _affine_lines(params, ref_t, qry_t, leaf_q, interpret)
-        return result(_rescore_affine(params, r, q), r, m, q)
+        lines = _affine_lines_batch(params, seqs, leaf_q, interpret)
+        return [result(k, _rescore_affine(params, r, q), r, m, q)
+                for k, (r, m, q) in enumerate(lines)]
     if algorithm is Algorithm.LSW:
-        score, seg = _local_endpoints(params, ref_t, qry_t, interpret)
-        if seg is None:
-            return result(score)
-        sr, er, sc, ec = seg
-        r, m, q = _global_lines(params, ref_t[sc:ec], qry_t[sr:er], leaf_q,
-                                interpret)
-        return result(score, r, m, q)
-    r, m, q = _global_lines(params, ref_t, qry_t, leaf_q, interpret)
-    return result(_rescore(params, r, q), r, m, q)
+        ends = _local_endpoints_batch(params, seqs, interpret)
+        seg_idx = [k for k, (_, seg) in enumerate(ends) if seg is not None]
+        seg_seqs = []
+        for k in seg_idx:
+            sr, er, sc, ec = ends[k][1]
+            ref_t, qry_t = seqs[k]
+            seg_seqs.append((ref_t[sc:ec], qry_t[sr:er]))
+        seg_lines = (_global_lines_batch(params, seg_seqs, leaf_q, interpret)
+                     if seg_seqs else [])
+        out = [result(k, score) for k, (score, _) in enumerate(ends)]
+        for k, (r, m, q) in zip(seg_idx, seg_lines):
+            out[k] = result(k, ends[k][0], r, m, q)
+        return out
+    lines = _global_lines_batch(params, seqs, leaf_q, interpret)
+    return [result(k, _rescore(params, r, q), r, m, q)
+            for k, (r, m, q) in enumerate(lines)]
 
 
 def _rescore(params, ref_line: str, qry_line: str) -> int:
