@@ -105,9 +105,12 @@ def test_engine_local_mode_all_routes_to_oracle():
     assert any(r.extra_paths for r in out.results)
 
 
-def test_engine_local_mode_all_rejects_global():
+def test_engine_local_mode_all_rejects_affine():
+    """local_mode='all' covers lsw/bsw (BACKTRACK_ALL) and lnw (co-optimal
+    global path enumeration); only the affine aligner is rejected."""
     with pytest.raises(ValueError):
-        AlignmentEngine(Algorithm.LNW, local_mode="all")
+        AlignmentEngine(Algorithm.ANW, local_mode="all")
+    AlignmentEngine(Algorithm.LNW, local_mode="all")  # supported
 
 
 def test_engine_max_inflight_window():

@@ -124,3 +124,51 @@ def test_banded_device_walk_matches_oracle(rng):
             want = align_pair(algo, params, *pairs[i], pair_num=i,
                               engine="scalar")
             assert dev[i].block() == want.block(), i
+
+
+def test_pallas_t_max_cap_falls_back_to_xla(monkeypatch):
+    """When a budget retry would exceed the Pallas walker's VMEM scratch
+    cap, the dispatcher degrades to the XLA walker instead of failing at
+    compile time -- output unchanged."""
+    import tpu_align.traceback.device as dev
+    import tpu_align.traceback.walk_kernel as wk
+
+    from tpu_align.traceback.device import (
+        device_walk_dispatch, device_walk_finalize,
+    )
+
+    ds = PairDataset.from_pairs([(random_dna(random.Random(1), 40),
+                                  random_dna(random.Random(2), 36))] * 4)
+    (b,) = bucketize(ds, BucketSpec(batch_pairs=8, query_multiple=8))
+    scores, srow, scol, dirs = fill_stagger_bucket_async(
+        Algorithm.LNW, PARAMS, b.ref_tokens, b.qry_tokens,
+        b.ref_len, b.qry_len)
+    want, tw = device_traceback_moves(
+        Algorithm.LNW, PARAMS, np.asarray(dirs), np.asarray(srow),
+        np.asarray(scol), np.asarray(scores), STRIPE_S, walker="xla")
+
+    calls = []
+    monkeypatch.setattr(wk, "pallas_t_max_cap", lambda *a, **k: 16)
+    real_xla = dev._device_walk
+
+    def spy_xla(*a, **k):
+        calls.append("xla")
+        return real_xla(*a, **k)
+
+    monkeypatch.setattr(dev, "_device_walk", spy_xla)
+    got, tg = device_walk_finalize(device_walk_dispatch(
+        Algorithm.LNW, PARAMS, dirs, srow, scol, scores, STRIPE_S,
+        walker="pallas"))
+    assert calls, "cap=16 must route the walk to the XLA walker"
+    assert _lane_seqs(got, tg) == _lane_seqs(np.asarray(want), tw)
+
+
+def test_pallas_t_max_cap_reasonable():
+    """The computed cap admits the standard read-workload budget (so the
+    Pallas walker actually runs there) and scales down with lane group
+    size times t_max VMEM."""
+    from tpu_align.traceback.walk_kernel import pallas_t_max_cap
+
+    cap = pallas_t_max_cap((8, 18, 32, 1024), 32)   # 250bp bucket shape
+    assert cap >= 2048  # typical budget ~ (M + N + slack)
+    assert pallas_t_max_cap((8, 18, 32, 128), 32) >= cap

@@ -216,11 +216,10 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             constants are pre-shifted immediates and the bottom-row
             collect mask is a constant."""
             if is_affine:
-                (s1, up_prev, s1f, s1e, acc,
-                 rowmax, rowcol, bot, botf) = carry
+                s1, up_prev, s1f, s1e, acc, rowmax, rowcol = carry
             else:
-                s1, up_prev, acc, rowmax, rowcol, bot = carry
-                s1f = s1e = botf = None
+                s1, up_prev, acc, rowmax, rowcol = carry
+                s1f = s1e = None
             # neighbour loads from the previous stripe's bottom row
             rbk1 = rowbuf_h[pl.ds(k + 1 + PAD, 1), :]
             up = _shift1(s1, rbk1)
@@ -248,10 +247,26 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 e_open = left + go
                 e_ext = e_prev
                 e_row, e_open_wins = dpx.vibmax_s32(e_open, e_ext)
-                # H chain: best = mm; F >= best -> DEL; E >= best -> INS
-                best1, take_del = dpx.vibmax_s32(f_row, mm)
-                h, take_ins = dpx.vibmax_s32(e_row, best1)
+                # H chain: best = mm; F >= best -> DEL; E >= best -> INS.
+                # The VALUE is the 4-way max over {mm, f_ext, e_row,
+                # f_open}, reassociated for the loop-carried cycle: the
+                # two 1-step dependency paths both hit 4 links (up-path
+                # roll/sel/+go with f_open at tree depth 1; left-path
+                # +go/e-max with e_row at depth 2), and the f->h path's 5
+                # links amortize over the 2-step h->f->h circuit (4.5
+                # links/step) -- vs 6 links for the naive serial chain.
+                # max is associative/commutative so h is bitwise
+                # unchanged; the tie PREDICATES keep the reference's exact
+                # `__vibmax >=` chain (same operands, off the cycle --
+                # they only feed the direction word, and are dead code in
+                # scores-only mode).
+                h = jnp.maximum(
+                    jnp.maximum(jnp.maximum(mm, f_ext), e_row), f_open
+                )
                 if with_traceback:
+                    _, take_del = dpx.vibmax_s32(f_row, mm)
+                    # == e_row >= max(f_row, mm), the chain's final `>=`
+                    take_ins = h == e_row
                     sh = bits * sub  # compile-time: pre-shift the codes
                     d = jnp.where(is_match, _imm32(D.MAIN_DIAG_MATCH << sh),
                                   _imm32(D.MAIN_DIAG_MISMATCH << sh))
@@ -263,19 +278,31 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             else:
                 dele = up  # G-space: the +gap is the rank step
                 ins = left
+                # VALUE maxes reassociated so the roll path (dele) feeds
+                # one final max: the loop-carried cycle h->h' drops from 4
+                # to 3 links (ins = s1 verbatim and mm comes from the
+                # PREVIOUS step's up, so max(ins, mm) runs parallel to the
+                # roll).  h is bitwise unchanged (max associativity); the
+                # tie predicates keep the exact reference chains and are
+                # dead code in scores-only mode.
                 if algo is Algorithm.LNW:
                     # chain (c++/LinearNeedlemanWunsch.cpp:122-126):
                     # best = mm; dele >= best -> DEL; ins >= best -> INS
-                    t, take_del = dpx.vibmax_s32(dele, mm)
-                    h, take_ins = dpx.vibmax_s32(ins, t)
+                    h = jnp.maximum(jnp.maximum(ins, mm), dele)
+                    if with_traceback:
+                        _, take_del = dpx.vibmax_s32(dele, mm)
+                        # == ins >= max(dele, mm), the chain's final `>=`
+                        take_ins = h == ins
                 else:
                     # LSW (cuda/LinearSmithWaterman.cu:126-137):
                     # best = mm; ins >= best -> INS; dele >= best -> DEL;
                     # 0-clamp (H = 0 is G = -k*gap; stop recovered by
                     # re-scoring in the walker)
-                    b1, take_ins = dpx.vibmax_s32(ins, mm)
-                    h0, take_del = dpx.vibmax_s32(dele, b1)
-                    h = jnp.maximum(h0, -gap * k)
+                    b1 = jnp.maximum(ins, mm)
+                    h = jnp.maximum(jnp.maximum(b1, -gap * k), dele)
+                    if with_traceback:
+                        _, take_ins = dpx.vibmax_s32(ins, mm)
+                        _, take_del = dpx.vibmax_s32(dele, b1)
                 if with_traceback:
                     sh = bits * sub  # compile-time: pre-shift the codes
                     d = jnp.where(is_match, _imm32(D.MAIN_DIAG_MATCH << sh),
@@ -320,17 +347,9 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 # per lane per stripe matches); reduced once per stripe
                 rowmax = jnp.where(ktarget == k, h, rowmax)
 
-            # collect the stripe's bottom row; flushed to the hand-off
-            # buffer once per word (sub is compile-time -> constant mask)
-            bot = jnp.where(iota_spw == sub, h[S - 1:S, :], bot)
             if is_affine:
-                botf = jnp.where(iota_spw == sub, f_row[S - 1:S, :],
-                                 botf)
-                return (h, up, f_row, e_row, acc,
-                        rowmax, rowcol, bot, botf)
-            return h, up, acc, rowmax, rowcol, bot
-
-        iota_spw = _iota_s((spw, tile_p))
+                return h, up, f_row, e_row, acc, rowmax, rowcol
+            return h, up, acc, rowmax, rowcol
 
         def word_step(wi, carry, inject):
             # one direction word's worth of steps, fully unrolled (the
@@ -339,27 +358,26 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             # hand-off is a single spw-row block store per word: column
             # wi*spw - S + 2 + sub lands at slack-padded buffer offset
             # PAD + that (always >= 0; edge junk falls in the slack and is
-            # never read -- reads stop at column N).
+            # never read -- reads stop at column N).  Each unrolled step's
+            # bottom row is collected in a Python list and concatenated
+            # once per word (sublane copies), not select-accumulated per
+            # step (spw full-slab selects).
             slabs, word_carry = carry
             acc = jnp.zeros(shape, jnp.int32)
-            bot = jnp.zeros((spw, tile_p), jnp.int32)
-            if is_affine:
-                botf = jnp.zeros((spw, tile_p), jnp.int32)
-                st = slabs[:4] + (acc,) + word_carry + (bot, botf)
-            else:
-                st = slabs[:2] + (acc,) + word_carry + (bot,)
+            nslab = 4 if is_affine else 2
+            st = slabs[:nslab] + (acc,) + word_carry
+            bot_rows, botf_rows = [], []
             for sub in range(spw):
                 st = step(wi * spw + sub, sub, st, inject)
+                bot_rows.append(st[0][S - 1:S, :])
+                if is_affine:
+                    botf_rows.append(st[2][S - 1:S, :])
+            slabs = st[:nslab]
+            acc = st[nslab]
+            word_carry = st[nslab + 1: nslab + 3]
+            bot = jnp.concatenate(bot_rows, axis=0)
             if is_affine:
-                slabs = st[:4]
-                acc = st[4]
-                word_carry = st[5:7]
-                bot, botf = st[7], st[8]
-            else:
-                slabs = st[:2]
-                acc = st[2]
-                word_carry = st[3:5]
-                bot = st[5]
+                botf = jnp.concatenate(botf_rows, axis=0)
             store_at = wi * spw - (S - 1) + 1 + PAD
             # store with the +S*rc fold so next-stripe reads are rank-free
             # (column j stored at step j+S-2, read as `up` at step j-1)
