@@ -161,6 +161,7 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
         "cells": ds.num_cells,
         "traceback": with_traceback,
         "kernel": kernel,
+        "stripe": stripe,
         "backend": jax.default_backend(),
     }
 
