@@ -12,6 +12,10 @@ from tpu_align.io import BucketSpec, bucketize
 from tpu_align.oracle.api import align_pair
 from tpu_align.utils import synthetic_dataset
 
+import os
+
+GOLDENS_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
+
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
 )
@@ -273,3 +277,18 @@ def test_engine_sharded_matches_single_device(algo, traceback):
     got = AlignmentEngine(algo, mesh=mesh, **kwargs).run(ds).output_text()
     want = AlignmentEngine(algo, **kwargs).run(ds).output_text()
     assert got == want
+
+
+def test_cli_mesh_flag(tmp_path):
+    """tpu-align -mesh N: the sharded engine is CLI-reachable and its
+    output byte-matches the single-device run."""
+    from tpu_align.cli import main
+
+    d = os.path.join(GOLDENS_DIR, "lnw")
+    a = tmp_path / "mesh.txt"
+    b = tmp_path / "single.txt"
+    argv = ["-pairs", os.path.join(d, "input-data.txt"), "-algorithm", "lnw",
+            "-batch-pairs", "128"]
+    assert main(argv + ["-mesh", "-1", "-out", str(a)]) == 0
+    assert main(argv + ["-out", str(b)]) == 0
+    assert a.read_text() == b.read_text()

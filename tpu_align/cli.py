@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-out", default=None, help="write output blocks to file")
     p.add_argument("-checkpoint-dir", default=None,
                    help="persist per-batch results; re-runs resume from here")
+    p.add_argument("-mesh", type=int, default=0, metavar="N",
+                   help="run data-parallel over N local devices (0 = single "
+                        "device; -1 = all).  Fills -- and device walks -- "
+                        "run under shard_map on a `pairs` mesh; output is "
+                        "byte-identical to the single-device run")
     return p
 
 
@@ -109,6 +114,19 @@ def main(argv=None) -> int:
     output = args.output
     if output == "auto":
         output = "records" if args.checkpoint_dir else "blocks"
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from tpu_align.distributed import make_pairs_mesh
+
+        devs = jax.devices()
+        n = len(devs) if args.mesh < 0 else args.mesh
+        if n > len(devs):
+            print(f"-mesh {n}: only {len(devs)} devices visible",
+                  file=sys.stderr)
+            return 2
+        mesh = make_pairs_mesh(devs[:n])
     engine = AlignmentEngine(
         algorithm, params,
         bucket_spec=BucketSpec(batch_pairs=args.batch_pairs),
@@ -119,6 +137,7 @@ def main(argv=None) -> int:
         traceback=args.traceback,
         walker=args.walker,
         output=output,
+        mesh=mesh,
     )
     out = engine.run(ds, checkpoint_dir=args.checkpoint_dir)
     if not args.no_output:

@@ -276,6 +276,11 @@ class AlignmentEngine:
                 raise ValueError(
                     "mesh + traceback='device' uses the XLA walker (the "
                     "Pallas walk kernel is not shard_map-wrapped)")
+            if traceback == "hirschberg" or local_mode == "all":
+                raise ValueError(
+                    "mesh covers the bucketed kernel path; hirschberg and "
+                    "all-paths modes run their own fills -- use host_shard "
+                    "to split those workloads across processes instead")
             from tpu_align.distributed.sharding import shard_bucket_spec
             self.bucket_spec = shard_bucket_spec(mesh, self.bucket_spec)
 
