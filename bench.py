@@ -227,17 +227,18 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     }
 
 
-_TRANSIENT_MARKERS = (
-    "UNAVAILABLE", "Unable to initialize backend", "DEADLINE_EXCEEDED",
-    "Socket closed", "Connection reset", "failed to connect",
-    "INTERNAL: stream terminated",
+_TRANSIENT_MARKERS = (  # matched case-insensitively
+    "unavailable", "unable to initialize backend", "deadline_exceeded",
+    "deadline exceeded", "aborted", "socket", "broken pipe",
+    "connection", "failed to connect", "stream terminated",
+    "stream removed",
 )
 
 
 def _is_transient(e: BaseException) -> bool:
     """True for errors that look like a remote-worker outage/restart
     (worth retrying), False for real failures (bad config, code bugs)."""
-    msg = f"{type(e).__name__}: {e}"
+    msg = f"{type(e).__name__}: {e}".lower()
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
 
@@ -266,26 +267,28 @@ def _wait_for_backend(max_wait_s=600, verbose=True):
             time.sleep(min(60, max(5, deadline - time.monotonic())))
 
 
-def _run_with_retry(fn, max_wait_s, verbose=True):
+def _run_with_retry(fn, max_wait_s, verbose=True, max_retries=3):
     """Run the WHOLE benchmark under outage protection.
 
     A worker restart mid-run (e.g. during jax.device_put staging or a
     measured sweep, the round-2 BENCH_r02 failure mode) raises from deep
     inside the run; if it looks transient, wait for the backend to come
     back and re-run from scratch (stale device buffers from the dead
-    worker must not be reused).  Gives up when the wait budget is spent."""
+    worker must not be reused).  Each retry gets the FULL backend-wait
+    budget -- benchmark runtime itself must not consume it (a >10-minute
+    matrix sweep would otherwise exhaust the window before the outage
+    even happens); max_retries bounds repeatedly-dying runs instead."""
     log = (lambda *a: print(*a, file=sys.stderr)) if verbose else (lambda *a: None)
-    deadline = time.monotonic() + max(max_wait_s, 1)
-    while True:
+    for attempt in range(max_retries + 1):
         try:
             return fn()
         except Exception as e:
-            remaining = deadline - time.monotonic()
-            if not _is_transient(e) or remaining <= 0:
+            if not _is_transient(e) or attempt == max_retries:
                 raise
             log(f"benchmark run failed on a transient backend error ({e}); "
-                f"waiting for backend and retrying ({remaining:.0f}s budget)")
-            _wait_for_backend(remaining, verbose=verbose)
+                f"waiting for backend and retrying "
+                f"(attempt {attempt + 1}/{max_retries})")
+            _wait_for_backend(max(max_wait_s, 1), verbose=verbose)
 
 
 def main():

@@ -87,17 +87,23 @@ def main():
             (b.ref_len * b.qry_len).astype(np.int64)) for b in buckets]
 
         def sweep():
-            out = None
+            # cell totals accumulate across ALL buckets (the dataset can
+            # bucketize into several shapes); the final readback both
+            # syncs the in-order stream (PERF.md) and checks the sum
+            totals = []
             for (rt, qt, rl, ql), c in zip(staged, cells):
                 scores, srow, scol, dirs = fill_sharded(
                     mesh, algo, params, rt, qt, rl, ql,
                     with_traceback=True,
                 )
-                out = global_stats(mesh, scores, c)
-            # one tiny readback syncs the in-order stream (PERF.md)
-            return int(np.asarray(out[1]))
+                totals.append(global_stats(mesh, scores, c)[1])
+            acc = totals[0]
+            for t in totals[1:]:  # device-side add: ONE readback/RTT total
+                acc = acc + t
+            return int(np.asarray(acc))
 
         total = sweep()  # warmup/compile
+        assert total == int(ds.num_cells), (total, ds.num_cells)
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()

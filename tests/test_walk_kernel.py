@@ -169,6 +169,6 @@ def test_pallas_t_max_cap_reasonable():
     size times t_max VMEM."""
     from tpu_align.traceback.walk_kernel import pallas_t_max_cap
 
-    cap = pallas_t_max_cap((8, 18, 32, 1024), 32)   # 250bp bucket shape
+    cap = pallas_t_max_cap((8, 18, 32, 1024))  # 250bp bucket shape
     assert cap >= 2048  # typical budget ~ (M + N + slack)
-    assert pallas_t_max_cap((8, 18, 32, 128), 32) >= cap
+    assert pallas_t_max_cap((8, 18, 32, 128)) >= cap

@@ -71,19 +71,20 @@ def iter_output_blocks(path):
     """Stream (pair_id, block_text) from an output-block file.
 
     A block is a "<pairNum> | <score>" header line plus every following
-    line up to the next header.  Body lines can never alias a header:
-    alignment lines contain only bases/'_' and relation lines only
-    '*', '|', ' ' (the pair-number integer check rejects both).  Memory
-    is one block, not the file."""
+    line up to the next header (header detection is shared with
+    utils.reorder -- one definition of the block format).  Memory is one
+    block, not the file."""
+    from tpu_align.utils.reorder import block_header_pair_num
+
     key = None
     current: list[str] = []
     with open(path) as f:
         for line in f:
-            parts = line.split(" | ")
-            if len(parts) == 2 and parts[0].strip().lstrip("-").isdigit():
+            pn = block_header_pair_num(line)
+            if pn is not None:
                 if key is not None:
                     yield key, "".join(current)
-                key = int(parts[0])
+                key = pn
                 current = [line]
             elif key is not None:
                 current.append(line)

@@ -329,7 +329,7 @@ def device_walk_dispatch(
         stripes, W, _, _ = dirs.shape
         spw = 32 // bits_per_cell(algorithm)
         budget = _walk_phase_budget(stripes * stripe_s, W, spw)
-        cap = pallas_t_max_cap(dirs.shape, stripe_s)
+        cap = pallas_t_max_cap(dirs.shape)
         pallas_walk = functools.partial(device_walk_pallas, algorithm,
                                         params, dirs, *args, stripe_s)
         xla_walk = functools.partial(_device_walk, algorithm, params, dirs,

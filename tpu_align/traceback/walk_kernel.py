@@ -44,7 +44,7 @@ from tpu_align.kernels.fill import TILE_P, _default_interpret, bits_per_cell
 from tpu_align.traceback.device import decide_step
 
 
-def pallas_t_max_cap(dirs_shape, stripe_s: int) -> int:
+def pallas_t_max_cap(dirs_shape) -> int:
     """Largest phase budget t_max whose VMEM residents fit the kernel's
     compiler limit.
 

@@ -9,6 +9,18 @@ against golden files.
 from __future__ import annotations
 
 
+def block_header_pair_num(line: str) -> int | None:
+    """Pair number if `line` is a "<pairNum> | <score>" block header, else
+    None.  The single definition of header detection (reorder + the
+    multihost streaming merge share it): body lines can never alias a
+    header -- alignment lines hold only bases/'_' and relation lines only
+    '*', '|', ' ', so the integer check rejects both."""
+    parts = line.split(" | ")
+    if len(parts) == 2 and parts[0].strip().lstrip("-").isdigit():
+        return int(parts[0])
+    return None
+
+
 def reorder_output(text: str) -> str:
     """Sort 4-line output blocks by their leading pair number."""
     lines = text.splitlines()
@@ -16,11 +28,11 @@ def reorder_output(text: str) -> str:
     current: list[str] | None = None
     key = -1
     for line in lines:
-        parts = line.split(" | ")
-        if len(parts) == 2 and parts[0].strip().lstrip("-").isdigit():
+        pn = block_header_pair_num(line)
+        if pn is not None:
             if current is not None:
                 blocks.append((key, current))
-            key = int(parts[0])
+            key = pn
             current = [line]
         elif current is not None:
             current.append(line)

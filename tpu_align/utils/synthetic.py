@@ -57,6 +57,6 @@ def synthetic_dataset(
         ref = bases[rng.integers(0, len(bases), n)]
         qry = mutate(rng, ref, sub_rate, indel_rate, indel_rate)
         if qry.size == 0:
-            qry = _BASES[rng.integers(0, 4, 1)]
+            qry = bases[rng.integers(0, len(bases), 1)]
         pairs.append((ref.tobytes().decode(), qry.tobytes().decode()))
     return PairDataset.from_pairs(pairs)
