@@ -22,17 +22,16 @@ def main():
         assert not failures, failures[:5]
         print(f"{algo.value}: wrote + verified {out_dir}")
     # tie-rich all-paths goldens: short 2-letter-alphabet pairs make
-    # co-optimal ties dense while keeping path counts bounded.  Multi-path
-    # blocks are not 4-line so verify_output does not parse them; the
-    # all-paths enumerations are themselves oracle-tested
-    # (tests/test_oracle.py) and the golden is byte-compared by
-    # tests/test_golden.py.
+    # co-optimal ties dense while keeping path counts bounded.  The
+    # verifier parses multi-path blocks and re-scores every extra path.
     for algo, name in ((Algorithm.LNW, "lnw-all"), (Algorithm.LSW, "lsw-all")):
         out_dir = os.path.join(root, name)
-        generate_goldens(out_dir, algo, num_pairs=24, min_len=4, max_len=10,
-                         local_mode="all", alphabet="AT",
-                         sub_rate=0.3, indel_rate=0.2)
-        print(f"{name}: wrote {out_dir}")
+        in_path, out_path = generate_goldens(
+            out_dir, algo, num_pairs=24, min_len=4, max_len=10,
+            local_mode="all", alphabet="AT", sub_rate=0.3, indel_rate=0.2)
+        failures = verify_output(in_path, out_path, algo)
+        assert not failures, failures[:5]
+        print(f"{name}: wrote + verified {out_dir}")
 
 
 if __name__ == "__main__":

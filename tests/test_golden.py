@@ -99,3 +99,44 @@ def test_cli_lnw_all_paths(tmp_path):
     assert rc == 0
     with open(os.path.join(d, "align-output.txt")) as f:
         assert out_file.read_text() == f.read()
+
+
+@pytest.mark.parametrize("name,algo", [("lnw-all", Algorithm.LNW),
+                                       ("lsw-all", Algorithm.LSW)])
+def test_all_paths_goldens_verify(name, algo):
+    """The verifier parses multi-path blocks and re-scores every extra
+    co-optimal path to the same optimum."""
+    d = os.path.join(GOLDENS, name)
+    assert verify_output(os.path.join(d, "input-data.txt"),
+                         os.path.join(d, "align-output.txt"), algo) == []
+
+
+def test_verifier_catches_bad_extra_path(tmp_path):
+    from tpu_align.verify.golden import OutputBlock
+
+    in_path, _ = _paths(Algorithm.LNW)
+    from tpu_align.io.dataset import parse_pair_file
+
+    ds = parse_pair_file(in_path)
+    ref, qry = ds.pair(0)
+    from tpu_align.oracle.api import align_pair
+
+    good = align_pair(Algorithm.LNW, AlignmentParams(), ref, qry)
+    bad = tmp_path / "bad.txt"
+    # main path fine; extra path is the main path with one column doubled
+    # (re-scores differently)
+    extra = (good.ref_aligned + "_", good.relation + " ",
+             good.query_aligned + "A")
+    blk = OutputBlock(0, good.score, good.ref_aligned, good.relation,
+                      good.query_aligned, [extra])
+    text = (f"{blk.pair_num} | {blk.score}\n{blk.ref_aligned}\n"
+            f"{blk.relation}\n{blk.query_aligned}\n"
+            + "\n".join(extra) + "\n")
+    single = tmp_path / "one.txt"
+    single.write_text(text)
+    from tpu_align.io.dataset import write_pair_file
+
+    one_in = tmp_path / "in.txt"
+    write_pair_file(one_in, [(ref, qry)])
+    failures = verify_output(one_in, single, Algorithm.LNW)
+    assert failures and "path 2" in failures[0]

@@ -75,23 +75,38 @@ class OutputBlock:
     ref_aligned: str
     relation: str
     query_aligned: str
+    extra_paths: list = dataclasses.field(default_factory=list)
 
 
 def parse_output_blocks(text: str) -> list[OutputBlock]:
-    """Parse reference-format 4-line output blocks."""
+    """Parse reference-format output blocks: a "<pairNum> | <score>"
+    header plus a 3-line alignment, optionally followed by further 3-line
+    co-optimal paths (multi-path modes: BACKTRACK_ALL / -all-paths) --
+    collected into extra_paths.  Header detection is the shared
+    block_header_pair_num rule (body lines cannot alias it)."""
+    from tpu_align.utils.reorder import block_header_pair_num
+
     lines = text.splitlines()
     blocks = []
-    i = 0
-    while i < len(lines):
-        head = lines[i].split(" | ")
-        if len(head) != 2:
+    i, n = 0, len(lines)
+    while i < n:
+        pn = block_header_pair_num(lines[i])
+        if pn is None:
             raise ValueError(f"bad block header at line {i}: {lines[i]!r}")
-        pair_num, score = int(head[0]), int(head[1])
-        ref_a = lines[i + 1] if i + 1 < len(lines) else ""
-        rel = lines[i + 2] if i + 2 < len(lines) else ""
-        qry_a = lines[i + 3] if i + 3 < len(lines) else ""
-        blocks.append(OutputBlock(pair_num, score, ref_a, rel, qry_a))
-        i += 4
+        score = int(lines[i].split(" | ")[1])
+        i += 1
+        body = []
+        while i < n and block_header_pair_num(lines[i]) is None:
+            body.append(lines[i])
+            i += 1
+        if len(body) < 3:
+            body += [""] * (3 - len(body))
+        if (len(body) - 3) % 3:
+            raise ValueError(
+                f"pair {pn}: {len(body)} body lines (expected 3 + 3k)")
+        extras = [tuple(body[j: j + 3]) for j in range(3, len(body), 3)]
+        blocks.append(OutputBlock(pn, score, body[0], body[1], body[2],
+                                  extras))
     return blocks
 
 
@@ -207,6 +222,12 @@ def verify_output(
             continue
         for p in rescore_alignment(algorithm, params, ref, qry, block):
             failures.append(f"pair {i}: {p}")
+        # multi-path blocks (-all-paths): every additional co-optimal path
+        # must be legal and re-score to the same optimal score
+        for k, (ra, rel, qa) in enumerate(block.extra_paths):
+            sub = OutputBlock(i, block.score, ra, rel, qa)
+            for p in rescore_alignment(algorithm, params, ref, qry, sub):
+                failures.append(f"pair {i} path {k + 2}: {p}")
     return failures
 
 
