@@ -20,8 +20,8 @@ echo "=== phase 2: 100k-pair parity ===" >&2
 timeout 7200 python scripts/hw_parity.py 100000 --json PARITY_r03.json \
   || echo "PARITY FAILED" >&2
 
-echo "=== phase 3: virtual-mesh scaling table ===" >&2
-timeout 3000 python scripts/bench_scaling.py --cpu 8 > SCALING.jsonl \
+echo "=== phase 3: virtual-mesh scaling table (1/2/4/8/16 devices) ===" >&2
+timeout 3000 python scripts/bench_scaling.py --cpu 16 > SCALING.jsonl \
   || echo "SCALING FAILED" >&2
 
 echo "=== artifacts ===" >&2
