@@ -28,7 +28,9 @@ def load_runs(path: str) -> list[dict]:
 
 
 def analyze(runs: list[dict]) -> str:
-    """Text table: one row per run, one column per phase (ms), plus total."""
+    """Text table: one row per run, one column per phase (ms), plus total.
+    Rows without phase buckets (fill-only bench records) are skipped."""
+    runs = [r for r in runs if r.get("phases")]
     phases = [p for p in PHASE_ORDER
               if any(p in r.get("phases", {}) for r in runs)]
     for r in runs:
@@ -61,6 +63,9 @@ def plot(runs: list[dict], outfile: str) -> bool:
         import matplotlib.pyplot as plt
     except ImportError:
         return False
+    runs = [r for r in runs if r.get("phases")]
+    if not runs:
+        return False
     phases = [p for p in PHASE_ORDER
               if any(p in r.get("phases", {}) for r in runs)]
     labels = [str(r.get("label", i)) for i, r in enumerate(runs)]
@@ -92,6 +97,8 @@ def main(argv=None) -> int:
     if len(argv) > 1:
         if plot(runs, argv[1]):
             print(f"wrote {argv[1]}", file=sys.stderr)
+        elif not any(r.get("phases") for r in runs):
+            print("no phase-bucket rows; skipped plot", file=sys.stderr)
         else:
             print("matplotlib unavailable; skipped plot", file=sys.stderr)
     return 0
