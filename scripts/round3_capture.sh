@@ -11,6 +11,12 @@
 set -u
 cd "$(dirname "$0")/.."
 
+echo "=== phase 0: compile check (tiny runs, fail fast) ===" >&2
+for a in lnw anw bsw; do
+  timeout 1800 python bench.py --algorithm "$a" --pairs 256 --len 64 \
+    --batch 256 --iters 1 --quiet || echo "COMPILE CHECK FAILED: $a" >&2
+done
+
 echo "=== phase 1: benchmark matrix ===" >&2
 bash scripts/run_benchmarks.sh bench_runs.jsonl \
   && cp bench_runs.jsonl BENCHMATRIX.jsonl \
