@@ -298,3 +298,39 @@ def test_device_walk_phase_budget_overflow(algo):
             want = align_pair(algo, params, *pairs[i], pair_num=i,
                               engine="scalar")
             assert dev[i].block() == want.block(), (algo, i)
+
+
+def test_stagger_last_rows_matches_rowscan():
+    """fill_stagger_last_rows_async is bit-identical to the rowscan
+    last-row fill (scores, H row, affine F row, Myers-Miller open_top
+    credits) -- the Hirschberg recursion can use either kernel."""
+    import numpy as np
+
+    from tpu_align.kernels.fill import fill_last_rows_async
+    from tpu_align.kernels.stagger import fill_stagger_last_rows_async
+
+    rng = np.random.default_rng(3)
+    p = AlignmentParams()
+    b, n, m = 8, 128, 48
+    refs = rng.integers(65, 69, (b, n)).astype(np.uint8)
+    qrys = rng.integers(65, 69, (b, m)).astype(np.uint8)
+    rlen = rng.integers(1, n + 1, b).astype(np.int32)
+    qlen = rng.integers(1, m + 1, b).astype(np.int32)
+    qlen[0] = 1          # single-row edge
+    qlen[1] = m          # full-stripe edge
+    cases = [(Algorithm.LNW, None), (Algorithm.ANW, None),
+             (Algorithm.ANW, np.where(rng.random(b) < 0.5, 0,
+                                      p.gap_open).astype(np.int32))]
+    for algo, tb in cases:
+        a = fill_last_rows_async(algo, p, refs, qrys, rlen, qlen,
+                                 interpret=True, open_top=tb)
+        s = fill_stagger_last_rows_async(algo, p, refs, qrys, rlen, qlen,
+                                         interpret=True, open_top=tb)
+        assert (np.asarray(a[0])[:b] == np.asarray(s[0])[:b]).all()
+        for k in range(b):
+            nn = rlen[k]
+            assert (np.asarray(a[1])[:nn, k]
+                    == np.asarray(s[1])[:nn, k]).all(), (algo.value, k)
+            if algo.is_affine:
+                assert (np.asarray(a[2])[:nn, k]
+                        == np.asarray(s[2])[:nn, k]).all(), (algo.value, k)

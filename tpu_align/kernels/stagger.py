@@ -105,9 +105,13 @@ def _shift1(x, fill_row):
 
 def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                          s_rows: int, k16: int, tile_p: int,
-                         with_traceback: bool):
+                         with_traceback: bool, emit_last_row: bool = False,
+                         has_open_top: bool = False):
     is_local = algo.is_local
     is_affine = algo.is_affine
+    assert not (emit_last_row and is_local), "last-row mode is global-only"
+    assert not (emit_last_row and with_traceback)
+    assert not (has_open_top and not is_affine), "open_top is affine-only"
     S = s_rows
     bits = bits_per_cell(algo)
     spw = 32 // bits  # steps per direction word
@@ -136,11 +140,19 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
         max(match_w * n_cols, 1) < (1 << (31 - enc_sh))
     )
 
-    def kernel(revref_ref, qry_ref, rlen_ref, qlen_ref, meta_ref, *rest):
-        if with_traceback:
-            dirs_ref, *scratch = rest
-        else:
-            dirs_ref, scratch = None, list(rest)
+    def kernel(revref_ref, qry_ref, rlen_ref, qlen_ref, *rest):
+        rest = list(rest)
+        topen_ref = rest.pop(0) if has_open_top else None
+        meta_ref = rest.pop(0)
+        dirs_ref = rest.pop(0) if with_traceback else None
+        # last-row capture targets: (K16, P) blocks in STEP space, G-rank k
+        # (the jit wrapper gathers k = j-1+r per lane and restores rank).
+        # Out blocks persist across the stripe grid axis, so the capture
+        # max-merges in place: exactly one stripe's qlen-row sublane is
+        # non-NEG per lane per step.
+        caph_ref = rest.pop(0) if emit_last_row else None
+        capf_ref = rest.pop(0) if (emit_last_row and is_affine) else None
+        scratch = rest
         if is_affine:
             rowbuf_h, rowbuf_f, best_s, brow_s, bcol_s = scratch
         else:
@@ -176,6 +188,10 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             best_s[:, :] = jnp.full((1, tile_p), NEG, jnp.int32)
             brow_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
             bcol_s[:, :] = jnp.zeros((1, tile_p), jnp.int32)
+            if emit_last_row:
+                caph_ref[:, :] = jnp.full(caph_ref.shape, NEG, jnp.int32)
+                if is_affine:
+                    capf_ref[:, :] = jnp.full(capf_ref.shape, NEG, jnp.int32)
 
         # per-stripe border columns (H[i][0] etc.), injected at step k == r
         # in read-rank form: `left` is consumed at rank k-1 = io-1, `diag`
@@ -184,10 +200,19 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             border_left = (1 - io) * gap  # H[i][0] = 0
             border_diag = (2 - io) * gap
         elif is_affine:
-            # H[i][0] = go + i*ge: deranked both collapse to a constant
-            border_left = jnp.full(shape, goe + (i0 + 1) * ge, jnp.int32)
+            # H[i][0] = tb + i*ge (tb = gap_open, or the Myers-Miller
+            # boundary credit when open_top is given -- the border column
+            # is a vertical gap starting at the top boundary): deranked
+            # both collapse to tb + (i0+2)*ge
+            if has_open_top:
+                tb_row = topen_ref[0:1, :].astype(jnp.int32)  # (1, P)
+                bcst = tb_row + (ge + (i0 + 1) * ge)
+                border_left = jnp.broadcast_to(bcst, shape)
+            else:
+                tb_row = None
+                border_left = jnp.full(shape, goe + (i0 + 1) * ge, jnp.int32)
             border_diag = jnp.where(  # i_slab==1 only at io==0: H[0][0]=0
-                i_slab == 1, 2 * ge, goe + (i0 + 1) * ge
+                i_slab == 1, 2 * ge, border_left
             )
         else:
             # H[i][0] = i*gap: deranked both collapse to (i0+2)*gap
@@ -240,6 +265,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 # F: open vs extend, __vibmax open >= extend -> GAP_OPEN
                 # (G-space: the shared +ge rank is dropped from both arms)
                 f_open = up + go
+                if has_open_top:
+                    # row 1's vertical gap starts at the TOP boundary and
+                    # opens at the Myers-Miller credit (rowbuf_f row 0 is
+                    # NEG, so the max keeps this forced open)
+                    f_open = jnp.where(i_slab == 1, up + tb_row, f_open)
                 f_ext = upf
                 f_row, f_open_wins = dpx.vibmax_s32(f_open, f_ext)
                 # E: left-dependency, same-sublane previous step
@@ -367,11 +397,23 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             nslab = 4 if is_affine else 2
             st = slabs[:nslab] + (acc,) + word_carry
             bot_rows, botf_rows = [], []
+            caph_rows, capf_rows = [], []
             for sub in range(spw):
                 st = step(wi * spw + sub, sub, st, inject)
                 bot_rows.append(st[0][S - 1:S, :])
                 if is_affine:
                     botf_rows.append(st[2][S - 1:S, :])
+                if emit_last_row:
+                    # the qlen-row sublane's value this step (exactly one
+                    # sublane matches per lane in the owning stripe; NEG
+                    # elsewhere so the cross-stripe max-merge is exact)
+                    caph_rows.append(jnp.max(
+                        jnp.where(qmask_eq, st[0], NEG),
+                        axis=0, keepdims=True))
+                    if is_affine:
+                        capf_rows.append(jnp.max(
+                            jnp.where(qmask_eq, st[2], NEG),
+                            axis=0, keepdims=True))
             slabs = st[:nslab]
             acc = st[nslab]
             word_carry = st[nslab + 1: nslab + 3]
@@ -384,6 +426,13 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             rowbuf_h[pl.ds(store_at, spw), :] = bot + S * rc
             if is_affine:
                 rowbuf_f[pl.ds(store_at, spw), :] = botf + S * rc
+            if emit_last_row:
+                at = pl.ds(wi * spw, spw)
+                caph_ref[at, :] = jnp.maximum(
+                    caph_ref[at, :], jnp.concatenate(caph_rows, axis=0))
+                if is_affine:
+                    capf_ref[at, :] = jnp.maximum(
+                        capf_ref[at, :], jnp.concatenate(capf_rows, axis=0))
             if with_traceback:
                 dirs_ref[0, wi, :, :] = acc
             return slabs, word_carry
@@ -464,10 +513,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "algorithm", "params", "with_traceback", "interpret", "stripe_s"))
+    "algorithm", "params", "with_traceback", "interpret", "stripe_s",
+    "emit_last_row"))
 def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
                       qry_len, with_traceback=True, interpret=False,
-                      stripe_s=STRIPE_S):
+                      stripe_s=STRIPE_S, emit_last_row=False, open_top=None):
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     S = stripe_s
@@ -479,6 +529,9 @@ def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
                              constant_values=1)
         ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
         qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
+        if open_top is not None:
+            open_top = jnp.pad(open_top.reshape(-1), (0, bp - b),
+                               constant_values=params.gap_open)
         b = bp
     if m % S:  # pad query rows to whole stripes
         pad_m = S - m % S
@@ -503,6 +556,7 @@ def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
     qlen_t = qry_len.reshape(1, b).astype(jnp.int32)
     kernel = _make_stagger_kernel(
         algorithm, params, n, S, k16, tile_p, with_traceback,
+        emit_last_row=emit_last_row, has_open_top=open_top is not None,
     )
     out_shape = [jax.ShapeDtypeStruct((8, b), jnp.int32)]
     out_specs = [
@@ -517,6 +571,14 @@ def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
             pl.BlockSpec((1, num_words, S, tile_p),
                          lambda i, s: (s, 0, 0, i), memory_space=pltpu.VMEM)
         )
+    if emit_last_row:
+        # step-space capture blocks; persist across the stripe grid axis
+        for _ in range(2 if algorithm.is_affine else 1):
+            out_shape.append(jax.ShapeDtypeStruct((k16, b), jnp.int32))
+            out_specs.append(
+                pl.BlockSpec((k16, tile_p), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM)
+            )
     in_specs = [
         pl.BlockSpec((rl, tile_p), lambda i, s: (0, i),
                      memory_space=pltpu.VMEM),
@@ -527,6 +589,9 @@ def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
         pl.BlockSpec((1, tile_p), lambda i, s: (0, i),
                      memory_space=pltpu.VMEM),
     ]
+    if open_top is not None:
+        in_specs.append(pl.BlockSpec((1, tile_p), lambda i, s: (0, i),
+                                     memory_space=pltpu.VMEM))
     rb = _round8(k16 + S + spw + 8)  # k16 reads + PAD slack + margin
     scratch_shapes = [pltpu.VMEM((rb, tile_p), jnp.int32)]  # H hand-off row
     if algorithm.is_affine:
@@ -555,10 +620,62 @@ def _fill_stagger_jit(algorithm, params, ref_tokens, qry_tokens, ref_len,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         cost_estimate=cost,
-    )(revref, qry_t, rlen_t, qlen_t)
+    )(revref, qry_t, rlen_t, qlen_t,
+      *(() if open_top is None
+        else (open_top.reshape(1, b).astype(jnp.int32),)))
     meta = outs[0]
     dirs = outs[1] if with_traceback else None
+    if emit_last_row:
+        # capture blocks hold the qlen-row sublane's stream in STEP space
+        # at G-rank k; H[qlen][j] lives at step k = j-1+r with
+        # r = (qlen-1) % S.  Gather per lane and restore rank (+k*rc).
+        rc = params.gap_extend if algorithm.is_affine else params.gap
+        r = ((qry_len.reshape(-1).astype(jnp.int32) - 1) % S)  # (B,)
+        k_idx = jnp.arange(n, dtype=jnp.int32)[:, None] + r[None, :]
+        def to_rows(cap):
+            return jnp.take_along_axis(cap, k_idx, axis=0) + k_idx * rc
+        hlast = to_rows(outs[1])
+        flast = to_rows(outs[2]) if algorithm.is_affine else None
+        return meta[0, :], meta[1, :], meta[2, :], hlast, flast
     return meta[0, :], meta[1, :], meta[2, :], dirs
+
+
+def fill_stagger_last_rows_async(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    ref_tokens, qry_tokens, ref_len, qry_len,
+    interpret: bool | None = None,
+    open_top=None,
+    stripe_s: int = STRIPE_S,
+):
+    """Stagger-wavefront scores-only fill that also emits the DP matrix's
+    LAST ROW per pair (H[qlen][j], plus Gotoh F[qlen][j] for affine) --
+    the same contract as kernels.fill.fill_last_rows_async but on the
+    stagger formulation (~2x fewer VPU ops than the rowscan's prefix-max
+    scan), which is what the Hirschberg recursion's split fills use.
+
+    The qlen-row sublane's per-step stream is max-merged across stripes
+    into a step-space capture block (exactly one stripe owns each lane's
+    last row); the wrapper gathers k = j-1+r per lane and restores the
+    anti-diagonal G-rank.  Returns (scores, hlast (N, B), flast-or-None).
+    """
+    if algorithm.is_local:
+        raise ValueError("last-row fill is global-only (LNW/ANW)")
+    if algorithm.is_affine and params.gap_open > 0:
+        raise ValueError("ANW kernel requires gap_open <= 0")
+    if open_top is not None and not algorithm.is_affine:
+        raise ValueError("open_top is affine-only")
+    if interpret is None:
+        interpret = _default_interpret()
+    scores, _, _, hlast, flast = _fill_stagger_jit(
+        algorithm, params,
+        jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),
+        jnp.asarray(ref_len), jnp.asarray(qry_len),
+        with_traceback=False, interpret=interpret, stripe_s=stripe_s,
+        emit_last_row=True,
+        open_top=None if open_top is None else jnp.asarray(open_top),
+    )
+    return scores, hlast, flast
 
 
 def fill_stagger_bucket_async(

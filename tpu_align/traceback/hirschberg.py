@@ -45,9 +45,38 @@ import numpy as np
 
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.core.result import AlignmentResult
-from tpu_align.kernels.fill import fill_bucket_async, fill_last_rows_async
+from tpu_align.kernels.fill import fill_bucket_async
 
 GAP = "_"
+
+# Split-level last-row fill kernel: "auto" (stagger on compiled backends,
+# rowscan in interpret mode -- the stagger's per-step Python interpret
+# loop is slower to EMULATE although ~2x cheaper in VPU ops), "stagger"
+# (kernels/stagger.py fill_stagger_last_rows_async) or "rowscan"
+# (kernels/fill.py fill_last_rows_async).  The two kernels are
+# bit-identical (tests/test_kernels.py), so the knob is pure perf A/B.
+LAST_ROWS_KERNEL = "auto"
+
+
+def fill_last_rows_async(algorithm, params, refs, qrys, rlen, qlen,
+                         interpret=None, open_top=None):
+    from tpu_align.kernels.fill import _default_interpret
+
+    if interpret is None:
+        interpret = _default_interpret()
+    pick = LAST_ROWS_KERNEL
+    if pick == "auto":
+        pick = "rowscan" if interpret else "stagger"
+    if pick == "stagger":
+        from tpu_align.kernels.stagger import fill_stagger_last_rows_async
+
+        return fill_stagger_last_rows_async(
+            algorithm, params, refs, qrys, rlen, qlen,
+            interpret=interpret, open_top=open_top)
+    from tpu_align.kernels.fill import fill_last_rows_async as _rowscan
+
+    return _rowscan(algorithm, params, refs, qrys, rlen, qlen,
+                    interpret=interpret, open_top=open_top)
 
 
 def _pow2_pad(x: int, floor: int) -> int:
