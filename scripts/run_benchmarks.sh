@@ -24,6 +24,7 @@ run --stripe 64
 # affine-specific stripe sweep (VERDICT r3 item 2: the affine step carries
 # ~2x the slab ops, so its fill/drain-vs-latency optimum may differ)
 run --algorithm anw --stripe 16
+run --algorithm anw --stripe 48
 run --algorithm anw --stripe 64
 # long sequences: 2048 x 2048 (sized to keep runtime moderate)
 run --pairs 1536 --len 2048 --batch 1536
