@@ -194,14 +194,17 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     )
     engine.warmup(ds)
     totals = []
+    best = None  # (total, out, data): phases reported from the FASTEST run
     for _ in range(max(runs, 1)):
         t0 = time.perf_counter()
         out = engine.run(ds)
         with out.timer.phase("printing"):
             data = out.output_bytes()
         totals.append(time.perf_counter() - t0)
+        if best is None or totals[-1] < best[0]:
+            best = (totals[-1], out, data)
         log(f"run {len(totals)}: {totals[-1]:.3f}s")
-    total = min(totals)
+    total, out, data = best
     mean = sum(totals) / len(totals)
     spread = max(totals) - min(totals)
     log(out.timer.report())
@@ -210,6 +213,9 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         "value": round(num_pairs / total),
         "unit": "pairs/sec",
         "vs_baseline": round((num_pairs / total) / (100_000 / 0.4406), 3),
+        "num_pairs": num_pairs,
+        "seq_len": seq_len,
+        "batch_pairs": batch_pairs,
         "total_s_samples": [round(t, 4) for t in totals],
         "total_s_mean": round(mean, 4),
         "total_s_spread": round(spread, 4),

@@ -284,51 +284,202 @@ void replay_range(
     const uint8_t* qry_tokens, const int32_t* start_row,
     const int32_t* start_col, const int32_t* scores, char* out_buf,
     int64_t out_stride, int32_t* out_lens) {
-  Walker w;
-  w.reserve(static_cast<size_t>(m + n));
+  // The move stream is in walk order (end -> start) but output reads
+  // start -> end, so the three lines are written BACKWARD from the end of
+  // fixed scratch buffers (one store per char, no vectors, no reversal
+  // pass), then copied left-aligned into the caller's buffer.  Whole
+  // all-no-op words (idle phases, stream tails) are skipped with one
+  // compare per 16 steps.
+  const int64_t cap = m + n;
+  std::vector<char> scratch(3 * cap);
+  char* rbuf = scratch.data();
+  char* mbuf = rbuf + cap;
+  char* qbuf = mbuf + cap;
   for (int64_t b = lo; b < hi; ++b) {
     if (local && scores[b] <= 0) {
       out_lens[b] = 0;
       continue;
     }
-    w.ref_out.clear();
-    w.rel_out.clear();
-    w.qry_out.clear();
     const uint8_t* ref = ref_tokens + b * n;
     const uint8_t* qry = qry_tokens + b * m;
     int64_t r = start_row[b], c = start_col[b];
-    for (int64_t t = 0; t < t16 * 16; ++t) {
-      const uint32_t word =
-          static_cast<uint32_t>(moves[(t / 16) * b_total + b]);
-      const int mv = static_cast<int>((word >> (2 * (t % 16))) & 3);
-      if (mv == 0) continue;
-      if (mv == 1) {
-        const char rc = static_cast<char>(ref[c - 1]);
-        const char qc = static_cast<char>(qry[r - 1]);
-        w.emit(rc, rc == qc ? kRelMatch : kRelMismatch, qc);
-        --r; --c;
-      } else if (mv == 2) {
-        w.emit(kGapChar, kRelGap, static_cast<char>(qry[r - 1]));
-        --r;
-      } else {
-        w.emit(static_cast<char>(ref[c - 1]), kRelGap, kGapChar);
-        --c;
-      }
+    int64_t pos = cap;
+    for (int64_t tw = 0; tw < t16; ++tw) {
+      uint32_t word = static_cast<uint32_t>(moves[tw * b_total + b]);
+      if (word == 0) continue;  // 16 idle phases at once
+      do {
+        const unsigned shift =
+            static_cast<unsigned>(__builtin_ctz(word)) & ~1u;
+        const int mv = static_cast<int>((word >> shift) & 3u);
+        word &= ~(3u << shift);  // consume; next ctz finds the next move
+        --pos;
+        if (mv == 1) {
+          const char rc = static_cast<char>(ref[c - 1]);
+          const char qc = static_cast<char>(qry[r - 1]);
+          rbuf[pos] = rc;
+          mbuf[pos] = rc == qc ? kRelMatch : kRelMismatch;
+          qbuf[pos] = qc;
+          --r; --c;
+        } else if (mv == 2) {
+          rbuf[pos] = kGapChar;
+          mbuf[pos] = kRelGap;
+          qbuf[pos] = static_cast<char>(qry[r - 1]);
+          --r;
+        } else {
+          rbuf[pos] = static_cast<char>(ref[c - 1]);
+          mbuf[pos] = kRelGap;
+          qbuf[pos] = kGapChar;
+          --c;
+        }
+      } while (word != 0);
+      if (!local && r == 0 && c == 0) break;  // global walks are complete
     }
-    const int64_t len = static_cast<int64_t>(w.ref_out.size());
+    const int64_t len = cap - pos;
     out_lens[b] = static_cast<int32_t>(len);
     char* dst = out_buf + b * 3 * out_stride;
-    for (int64_t k = 0; k < len; ++k) {
-      dst[k] = w.ref_out[len - 1 - k];
-      dst[out_stride + k] = w.rel_out[len - 1 - k];
-      dst[2 * out_stride + k] = w.qry_out[len - 1 - k];
+    std::memcpy(dst, rbuf + pos, len);
+    std::memcpy(dst + out_stride, mbuf + pos, len);
+    std::memcpy(dst + 2 * out_stride, qbuf + pos, len);
+  }
+}
+
+// Replay a lane's EVENT-compacted device walk (tpu_align/traceback/
+// device.py _compact_events): per lane, ev_words int32 words each packing
+// two 15-bit payloads (hi = earlier event): payload = (row << 1) | is_ins,
+// payload 0 = end of list.  Between events every move is diagonal; the
+// diagonal count before an event at row i is (r - i).  Global walks finish
+// with r trailing diagonals to (0, 0); local walks re-score and stop when
+// the remaining score reaches 0 (same arithmetic as the device walk's
+// decide_step, so the stop point is identical by construction).
+void replay_events_range(
+    int64_t lo, int64_t hi, int64_t ev_words, int64_t n, int64_t m,
+    int local, int match, int mismatch, int gap, const int32_t* events,
+    const uint8_t* ref_tokens, const uint8_t* qry_tokens,
+    const int32_t* start_row, const int32_t* start_col,
+    const int32_t* scores, char* out_buf, int64_t out_stride,
+    int32_t* out_lens, int32_t* out_scores) {
+  const int64_t cap = m + n;
+  std::vector<char> scratch(3 * cap);
+  char* rbuf = scratch.data();
+  char* mbuf = rbuf + cap;
+  char* qbuf = mbuf + cap;
+  for (int64_t b = lo; b < hi; ++b) {
+    if (local && scores[b] <= 0) {
+      out_lens[b] = 0;
+      if (out_scores != nullptr) out_scores[b] = scores[b];
+      continue;
     }
+    const uint8_t* ref = ref_tokens + b * n;
+    const uint8_t* qry = qry_tokens + b * m;
+    const int32_t* ev = events + b * ev_words;
+    int64_t r = start_row[b], c = start_col[b];
+    int64_t rem = local ? scores[b] : 1;
+    int64_t acc = 0;  // path score, re-derived (linear weights only)
+    int64_t pos = cap;
+    bool done = false;
+    auto diag = [&]() {
+      const char rc = static_cast<char>(ref[c - 1]);
+      const char qc = static_cast<char>(qry[r - 1]);
+      --pos;
+      rbuf[pos] = rc;
+      mbuf[pos] = rc == qc ? kRelMatch : kRelMismatch;
+      qbuf[pos] = qc;
+      acc += (rc == qc) ? match : mismatch;
+      if (local) {
+        rem -= (rc == qc) ? match : mismatch;
+        if (rem <= 0) done = true;
+      }
+      --r; --c;
+    };
+    for (int64_t w = 0; w < 2 * ev_words && !done; ++w) {
+      const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
+      const int p = static_cast<int>(
+          (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+      if (p == 0) break;  // end of event list
+      const int64_t i_e = p >> 1;
+      const bool is_ins = (p & 1) != 0;
+      while (r > i_e && !done) diag();
+      if (done) break;
+      --pos;
+      if (is_ins) {
+        rbuf[pos] = static_cast<char>(ref[c - 1]);
+        mbuf[pos] = kRelGap;
+        qbuf[pos] = kGapChar;
+        --c;
+      } else {
+        rbuf[pos] = kGapChar;
+        mbuf[pos] = kRelGap;
+        qbuf[pos] = static_cast<char>(qry[r - 1]);
+        --r;
+      }
+      acc += gap;
+      if (local) {
+        rem -= gap;
+        if (rem <= 0) done = true;
+      }
+    }
+    if (local) {
+      while (!done && r > 0 && c > 0) diag();
+    } else {
+      while (r > 0) diag();  // trailing diagonals to (0, 0); r == c here
+    }
+    const int64_t len = cap - pos;
+    out_lens[b] = static_cast<int32_t>(len);
+    if (out_scores != nullptr) {
+      out_scores[b] = static_cast<int32_t>(local ? scores[b] : acc);
+    }
+    char* dst = out_buf + b * 3 * out_stride;
+    std::memcpy(dst, rbuf + pos, len);
+    std::memcpy(dst + out_stride, mbuf + pos, len);
+    std::memcpy(dst + 2 * out_stride, qbuf + pos, len);
   }
 }
 
 }  // namespace
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Event-compacted device-walk replay: events (batch, ev_words) int32, two
+// 15-bit (row << 1 | is_ins) payloads per word; out_buf as in
+// ta_traceback_bucket.  Returns 0 on success.
+// ---------------------------------------------------------------------------
+int ta_replay_events(
+    int64_t batch, int64_t ev_words, int64_t n, int64_t m, int local,
+    int match, int mismatch, int gap, const int32_t* events,
+    const uint8_t* ref_tokens, const uint8_t* qry_tokens,
+    const int32_t* start_row, const int32_t* start_col,
+    const int32_t* scores, char* out_buf, int64_t out_stride,
+    int32_t* out_lens, int32_t* out_scores, int num_threads) {
+  if (out_stride < m + n) return -1;
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  num_threads = static_cast<int>(
+      std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
+  if (num_threads == 1 || batch < 64) {
+    replay_events_range(0, batch, ev_words, n, m, local, match, mismatch,
+                        gap, events, ref_tokens, qry_tokens, start_row,
+                        start_col, scores, out_buf, out_stride, out_lens,
+                        out_scores);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  const int64_t chunk = (batch + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(lo + chunk, batch);
+    if (lo >= hi) break;
+    threads.emplace_back(replay_events_range, lo, hi, ev_words, n, m,
+                         local, match, mismatch, gap, events, ref_tokens,
+                         qry_tokens, start_row, start_col, scores, out_buf,
+                         out_stride, out_lens, out_scores);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
 
 // ---------------------------------------------------------------------------
 // Device-walk move replay: moves (t16, b_total) int32 packed 16 2-bit codes

@@ -16,9 +16,9 @@ import os
 
 GOLDENS_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+)]
 
 
 def test_fill_sharded_matches_oracle():

@@ -4,6 +4,8 @@ oracle output, byte for byte."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy interpret-mode compiles; quick tier skips
+
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.io.bucketing import BucketSpec
 

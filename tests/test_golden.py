@@ -6,6 +6,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy interpret-mode compiles; quick tier skips
+
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.runtime.engine import align_file
 from tpu_align.utils import reorder_output

@@ -9,6 +9,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy interpret-mode compiles; quick tier skips
+
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.kernels.fill import fill_last_rows_async
 from tpu_align.oracle.api import align_pair

@@ -8,6 +8,8 @@ the identical kernel code compiles for TPU.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy interpret-mode compiles; quick tier skips
+
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.io import PairDataset, BucketSpec, bucketize
 from tpu_align.kernels import fill_bucket

@@ -12,6 +12,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy interpret-mode compiles; quick tier skips
+
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.io import BucketSpec, PairDataset, bucketize
 from tpu_align.kernels.stagger import STRIPE_S, fill_stagger_bucket_async

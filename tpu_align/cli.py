@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-kernel", default="auto",
                    choices=["auto", "stagger", "rowscan"],
                    help="fill formulation for lnw/lsw/anw")
+    p.add_argument("-stripe", type=int, default=0, metavar="S",
+                   help="stagger stripe width: query rows per wavefront "
+                        "stripe (the LNW V1 -threads-per-alignment knob, "
+                        "cuda/LNW/LinearNeedlemanWunsch.cu:199-225); "
+                        "0 = measured optimum (32)")
     p.add_argument("-max-inflight", type=int, default=4,
                    help="bucket kernels outstanding at once (V13 "
                         "STREAM_BATCH_SIZE analogue; 0 = unbounded)")
@@ -138,6 +143,7 @@ def main(argv=None) -> int:
         walker=args.walker,
         output=output,
         mesh=mesh,
+        stripe_s=args.stripe or None,
     )
     out = engine.run(ds, checkpoint_dir=args.checkpoint_dir)
     if not args.no_output:

@@ -141,13 +141,15 @@ def walk_sharded_dispatch(
     params: AlignmentParams,
     dirs, start_row, start_col, scores,
     stripe_s: int,
+    extras: tuple = (),
 ):
     """Device traceback walk, data-parallel over the `pairs` axis: each
     chip walks its own shard of the stagger direction words (the walk is
     per-pair independent), so the full V8 pipeline -- fill + on-device
     walk -- runs sharded and only packed move streams leave the devices.
     Returns a handle for traceback.device.device_walk_finalize (the same
-    doubling-retry contract as the single-device dispatch).
+    doubling-retry contract as the single-device dispatch); `extras`
+    arrays ride the same readback (see device_walk_dispatch).
 
     Each shard phases independently (like the Pallas walker's lane
     groups), so stream POSITIONS differ across shards; per-lane move
@@ -193,7 +195,10 @@ def walk_sharded_dispatch(
                            jnp.asarray(start_col), jnp.asarray(scores))
 
     packed, t = _run(t_max)
-    return _run, packed, t, t_max
+    extras = tuple(extras)
+    from tpu_align.traceback.device import _copy_to_host_async
+    _copy_to_host_async((packed, t) + extras)
+    return _run, packed, t, t_max, extras
 
 
 def walk_sharded(

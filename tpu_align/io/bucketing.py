@@ -90,23 +90,35 @@ class Bucket:
         return self.batch * self.padded_qry * self.padded_ref
 
 
+def _gather_padded(buf: np.ndarray, off: np.ndarray, lens: np.ndarray,
+                   width: int, pad: int, rows: int) -> np.ndarray:
+    """Vectorized flat-buffer -> (rows, width) padded token gather."""
+    n = len(off)
+    out = np.full((rows, width), pad, np.uint8)
+    if n == 0:
+        return out
+    col = np.arange(width, dtype=np.int64)
+    pos = np.minimum(off[:, None] + col, max(buf.size - 1, 0))
+    np.copyto(out[:n], buf[pos], where=col < lens[:, None])
+    return out
+
+
 def _make_bucket(ds: PairDataset, idx: np.ndarray, mq: int, nr: int,
                  pair_multiple: int) -> Bucket:
     b_real = len(idx)
     b = _round_up(b_real, pair_multiple)
-    ref_tokens = np.full((b, nr), PAD_REF, np.uint8)
-    qry_tokens = np.full((b, mq), PAD_QRY, np.uint8)
+    rl = ds.ref_len[idx]
+    ql = ds.qry_len[idx]
+    ref_tokens = _gather_padded(ds.buffer, ds.ref_off[idx], rl, nr,
+                                PAD_REF, b)
+    qry_tokens = _gather_padded(ds.buffer, ds.qry_off[idx], ql, mq,
+                                PAD_QRY, b)
     ref_len = np.zeros(b, np.int32)
     qry_len = np.zeros(b, np.int32)
     pair_ids = np.full(b, -1, np.int64)
-    for row, i in enumerate(idx):
-        rb = ds.reference_bytes(i)
-        qb = ds.query_bytes(i)
-        ref_tokens[row, : rb.size] = rb
-        qry_tokens[row, : qb.size] = qb
-        ref_len[row] = rb.size
-        qry_len[row] = qb.size
-        pair_ids[row] = i
+    ref_len[:b_real] = rl
+    qry_len[:b_real] = ql
+    pair_ids[:b_real] = idx
     return Bucket(ref_tokens, qry_tokens, ref_len, qry_len, pair_ids, b_real)
 
 

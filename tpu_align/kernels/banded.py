@@ -46,6 +46,8 @@ from tpu_align.kernels.fill import (
     _default_interpret,
     _pad_batch,
     _ref_iota,
+    host_pack_tokens,
+    unpack_both,
 )
 
 ROWS_PER_STEP = 16  # 2-bit codes: 16 query rows per direction word
@@ -283,6 +285,18 @@ def _fill_banded_jit(params, ref_tokens, qry_tokens, ref_len, qry_len,
     return meta[0, :], meta[1, :], meta[2, :], dirs
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "params", "with_traceback", "interpret"))
+def _fill_banded_packed_jit(params, ref_packed, ref_lut, qry_packed,
+                            qry_lut, ref_len, qry_len, with_traceback=True,
+                            interpret=False):
+    rt, qt = unpack_both(ref_packed, ref_lut, qry_packed, qry_lut,
+                         ref_len, qry_len)
+    return _fill_banded_jit(params, rt, qt, ref_len, qry_len,
+                            with_traceback=with_traceback,
+                            interpret=interpret)
+
+
 def fill_banded_bucket_async(
     params: AlignmentParams,
     ref_tokens, qry_tokens, ref_len, qry_len,
@@ -293,6 +307,13 @@ def fill_banded_bucket_async(
     (scores, start_row, start_col, dirs-(MW,B,K8)-or-None)."""
     if interpret is None:
         interpret = _default_interpret()
+    packed = host_pack_tokens(ref_tokens, qry_tokens, ref_len, qry_len)
+    if packed is not None:  # 2-bit packed upload (io/packing)
+        return _fill_banded_packed_jit(
+            params, *(jnp.asarray(p) for p in packed),
+            jnp.asarray(ref_len), jnp.asarray(qry_len),
+            with_traceback=with_traceback, interpret=interpret,
+        )
     return _fill_banded_jit(
         params, jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),
         jnp.asarray(ref_len), jnp.asarray(qry_len),

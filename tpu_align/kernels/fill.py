@@ -615,6 +615,53 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     return meta[0, :], meta[1, :], meta[2, :], dirs
 
 
+def host_pack_tokens(ref_tokens, qry_tokens, ref_len, qry_len):
+    """2-bit-pack host-side token arrays for upload (io/packing): the
+    tunnel-bandwidth-bound H2D transfer shrinks 4x for <=4-symbol
+    alphabets.  Returns (ref_packed, ref_lut, qry_packed, qry_lut) or
+    None (non-numpy inputs -- already staged on device -- or wide
+    alphabets; TPU_ALIGN_PACK_H2D=off disables)."""
+    import os
+
+    if os.environ.get("TPU_ALIGN_PACK_H2D", "on").lower() in ("off", "0"):
+        return None
+    if not (isinstance(ref_tokens, np.ndarray)
+            and isinstance(qry_tokens, np.ndarray)):
+        return None
+    from tpu_align.io.packing import maybe_pack_tokens
+
+    rp = maybe_pack_tokens(ref_tokens, np.asarray(ref_len))
+    if rp is None:
+        return None
+    qp = maybe_pack_tokens(qry_tokens, np.asarray(qry_len))
+    if qp is None:
+        return None
+    return rp[0], rp[1], qp[0], qp[1]
+
+
+def unpack_both(ref_packed, ref_lut, qry_packed, qry_lut, ref_len, qry_len):
+    """Device-side inverse of host_pack_tokens (inside jit)."""
+    from tpu_align.io.bucketing import PAD_QRY, PAD_REF
+    from tpu_align.io.packing import unpack_tokens
+
+    rt = unpack_tokens(ref_packed, ref_lut, ref_len, PAD_REF,
+                       ref_packed.shape[1] * 4)
+    qt = unpack_tokens(qry_packed, qry_lut, qry_len, PAD_QRY,
+                       qry_packed.shape[1] * 4)
+    return rt, qt
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "algorithm", "params", "with_traceback", "interpret"))
+def _fill_packed_jit(algorithm, params, ref_packed, ref_lut, qry_packed,
+                     qry_lut, ref_len, qry_len, with_traceback=True,
+                     interpret=False):
+    rt, qt = unpack_both(ref_packed, ref_lut, qry_packed, qry_lut,
+                         ref_len, qry_len)
+    return _fill_jit(algorithm, params, rt, qt, ref_len, qry_len,
+                     with_traceback=with_traceback, interpret=interpret)
+
+
 def fill_bucket_async(
     algorithm: Algorithm,
     params: AlignmentParams,
@@ -631,11 +678,19 @@ def fill_bucket_async(
     JAX's async dispatch gives the V19 host/device overlap for free
     (cuda/LNW/LinearNeedlemanWunschV19.cu:536-585): the host can launch
     batch N+1 and traceback batch N-1 while batch N's kernel runs.
+    Host-resident <=4-symbol token arrays upload 2-bit packed.
     """
     if algorithm.is_affine and params.gap_open > 0:
         raise ValueError("ANW kernel requires gap_open <= 0")
     if interpret is None:
         interpret = _default_interpret()
+    packed = host_pack_tokens(ref_tokens, qry_tokens, ref_len, qry_len)
+    if packed is not None:
+        return _fill_packed_jit(
+            algorithm, params, *(jnp.asarray(p) for p in packed),
+            jnp.asarray(ref_len), jnp.asarray(qry_len),
+            with_traceback=with_traceback, interpret=interpret,
+        )
     return _fill_jit(
         algorithm, params,
         jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),

@@ -74,6 +74,8 @@ from tpu_align.kernels.fill import (
     _default_interpret,
     _pad_batch,
     bits_per_cell,
+    host_pack_tokens,
+    unpack_both,
 )
 from tpu_align.ops import dpx
 
@@ -678,6 +680,19 @@ def fill_stagger_last_rows_async(
     return scores, hlast, flast
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "algorithm", "params", "with_traceback", "interpret", "stripe_s"))
+def _fill_stagger_packed_jit(algorithm, params, ref_packed, ref_lut,
+                             qry_packed, qry_lut, ref_len, qry_len,
+                             with_traceback=True, interpret=False,
+                             stripe_s=STRIPE_S):
+    rt, qt = unpack_both(ref_packed, ref_lut, qry_packed, qry_lut,
+                         ref_len, qry_len)
+    return _fill_stagger_jit(algorithm, params, rt, qt, ref_len, qry_len,
+                             with_traceback=with_traceback,
+                             interpret=interpret, stripe_s=stripe_s)
+
+
 def fill_stagger_bucket_async(
     algorithm: Algorithm,
     params: AlignmentParams,
@@ -694,6 +709,14 @@ def fill_stagger_bucket_async(
         raise ValueError("ANW kernel requires gap_open <= 0")
     if interpret is None:
         interpret = _default_interpret()
+    packed = host_pack_tokens(ref_tokens, qry_tokens, ref_len, qry_len)
+    if packed is not None:  # 2-bit packed upload (io/packing)
+        return _fill_stagger_packed_jit(
+            algorithm, params, *(jnp.asarray(p) for p in packed),
+            jnp.asarray(ref_len), jnp.asarray(qry_len),
+            with_traceback=with_traceback, interpret=interpret,
+            stripe_s=stripe_s,
+        )
     return _fill_stagger_jit(
         algorithm, params,
         jnp.asarray(ref_tokens), jnp.asarray(qry_tokens),

@@ -5,10 +5,11 @@ from tpu_align.native.binding import (
     native_format_blocks,
     native_gather_spans,
     native_parse_pair_bytes,
+    native_replay_events,
     native_replay_moves,
     native_traceback_bucket,
 )
 
 __all__ = ["available", "native_format_blocks", "native_gather_spans",
-           "native_parse_pair_bytes", "native_replay_moves",
-           "native_traceback_bucket"]
+           "native_parse_pair_bytes", "native_replay_events",
+           "native_replay_moves", "native_traceback_bucket"]

@@ -100,6 +100,22 @@ def _configure(lib) -> None:
         ctypes.POINTER(ctypes.c_int32),  # out_lens
         ctypes.c_int,                    # num_threads
     ]
+    lib.ta_replay_events.restype = ctypes.c_int
+    lib.ta_replay_events.argtypes = [
+        i64, i64, i64, i64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),  # events
+        ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
+        ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
+        ctypes.POINTER(ctypes.c_int32),  # start_row
+        ctypes.POINTER(ctypes.c_int32),  # start_col
+        ctypes.POINTER(ctypes.c_int32),  # scores
+        ctypes.c_char_p,                 # out_buf
+        i64,                             # out_stride
+        ctypes.POINTER(ctypes.c_int32),  # out_lens
+        ctypes.POINTER(ctypes.c_int32),  # out_scores (nullable)
+        ctypes.c_int,                    # num_threads
+    ]
     lib.ta_format_blocks.restype = i64
     lib.ta_format_blocks.argtypes = [
         i64,
@@ -239,6 +255,50 @@ def native_replay_moves(
     )
     if rc != 0:
         raise RuntimeError(f"ta_replay_moves failed: {rc}")
+    return out_buf, out_lens
+
+
+def native_replay_events(
+    events: np.ndarray,      # (B, ev_words) int32, two 15-bit payloads/word
+    ref_tokens: np.ndarray,  # (B, N) uint8
+    qry_tokens: np.ndarray,  # (B, M) uint8
+    start_row: np.ndarray,
+    start_col: np.ndarray,
+    scores: np.ndarray,
+    local: bool,
+    match: int, mismatch: int, gap: int,
+    num_threads: int = 0,
+):
+    """Replay event-compacted device-walk streams (traceback/device.py
+    _compact_events) into alignment strings (threaded).  Returns
+    (out_buf (B, 3, stride) uint8, out_lens) or None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b, n = ref_tokens.shape
+    m = qry_tokens.shape[1]
+    ev_words = events.shape[1]
+    stride = m + n
+    events = np.ascontiguousarray(events[:b], np.int32)
+    ref_tokens = np.ascontiguousarray(ref_tokens, np.uint8)
+    qry_tokens = np.ascontiguousarray(qry_tokens, np.uint8)
+    start_row = np.ascontiguousarray(start_row, np.int32)
+    start_col = np.ascontiguousarray(start_col, np.int32)
+    scores = np.ascontiguousarray(scores, np.int32)
+    out_buf = np.zeros((b, 3, stride), np.uint8)
+    out_lens = np.zeros(b, np.int32)
+    rc = lib.ta_replay_events(
+        b, ev_words, n, m, 1 if local else 0, match, mismatch, gap,
+        _ptr(events, ctypes.c_int32),
+        _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
+        _ptr(start_row, ctypes.c_int32), _ptr(start_col, ctypes.c_int32),
+        _ptr(scores, ctypes.c_int32),
+        out_buf.ctypes.data_as(ctypes.c_char_p), stride,
+        _ptr(out_lens, ctypes.c_int32), None, num_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"ta_replay_events failed: {rc}")
     return out_buf, out_lens
 
 

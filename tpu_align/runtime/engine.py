@@ -181,6 +181,7 @@ class AlignmentEngine:
         walker: str = "xla",
         output: str = "records",
         mesh=None,
+        stripe_s: int | None = None,
     ):
         """local_mode (local aligners only): "single" follows the CUDA host
         semantics (one path from the first row-major max cell); "all"
@@ -270,6 +271,10 @@ class AlignmentEngine:
         if output not in ("records", "blocks"):
             raise ValueError(f"unknown output mode {output!r}")
         self.output = output
+        # stagger stripe width (the LNW V1 -threads-per-alignment analogue,
+        # cuda/LNW/LinearNeedlemanWunsch.cu:199-225); default = measured
+        # optimum STRIPE_S
+        self.stripe_s = int(stripe_s) if stripe_s else STRIPE_S
         self.mesh = mesh
         if mesh is not None:
             if traceback == "device" and walker != "xla":
@@ -310,9 +315,13 @@ class AlignmentEngine:
                 self.params, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len,
                 with_traceback=self.with_traceback, interpret=self.interpret,
             )
-        fill_async = (fill_stagger_bucket_async if self.kernel == "stagger"
-                      else fill_bucket_async)
-        return fill_async(
+        if self.kernel == "stagger":
+            return fill_stagger_bucket_async(
+                self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
+                b.ref_len, b.qry_len, stripe_s=self.stripe_s,
+                with_traceback=self.with_traceback, interpret=self.interpret,
+            )
+        return fill_bucket_async(
             self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
             b.ref_len, b.qry_len,
             with_traceback=self.with_traceback, interpret=self.interpret,
@@ -320,18 +329,27 @@ class AlignmentEngine:
 
     def _walk_dispatch(self, outs):
         """Dispatch the on-device walk behind a bucket's fill; returns a
-        device_walk_finalize handle.  Sharded when the engine has a mesh."""
+        device_walk_finalize handle.  Sharded when the engine has a mesh.
+
+        The bucket's scores/starts ride the walk's readback as extras and
+        host copies start immediately, so consuming a bucket costs ONE
+        device round trip and the transfer overlaps earlier buckets'
+        host replay (readback coalescing + D2H pipelining)."""
+        extras = (outs[0], outs[1], outs[2])  # scores, start_row, start_col
         if self.mesh is not None:
             from tpu_align.distributed.sharding import walk_sharded_dispatch
             return walk_sharded_dispatch(
                 self.mesh, self.algorithm, self.params, outs[3], outs[1],
-                outs[2], outs[0], STRIPE_S,
+                outs[2], outs[0], self.stripe_s, extras=extras,
             )
-        from tpu_align.traceback.device import device_walk_dispatch
+        from tpu_align.traceback.device import device_walk_dispatch_events
 
-        return device_walk_dispatch(
+        # event-compacted readback (~4x smaller D2H at read-scale indel
+        # rates); falls back to the full move stream automatically for
+        # shapes its payload encoding cannot represent or on overflow
+        return device_walk_dispatch_events(
             self.algorithm, self.params, outs[3], outs[1], outs[2],
-            outs[0], STRIPE_S, walker=self.walker,
+            outs[0], self.stripe_s, walker=self.walker, extras=extras,
         )
 
     def warmup(self, ds: PairDataset) -> None:
@@ -349,9 +367,16 @@ class AlignmentEngine:
             outs = self._dispatch(b)
             if (self.traceback_mode == "device" and self.with_traceback
                     and outs[3] is not None):
-                from tpu_align.traceback.device import device_walk_finalize
+                from tpu_align.traceback.device import (
+                    device_walk_finalize,
+                    device_walk_finalize_events,
+                )
 
-                device_walk_finalize(self._walk_dispatch(outs))
+                handle = self._walk_dispatch(outs)
+                if isinstance(handle, dict):
+                    device_walk_finalize_events(handle)
+                else:
+                    device_walk_finalize(handle)
             jax.block_until_ready([o for o in outs if o is not None])
 
     def _bucket_key(self, b: Bucket) -> str:
@@ -501,6 +526,13 @@ class AlignmentEngine:
                     handle = None
                     if device_tb and outs[3] is not None:
                         handle = self._walk_dispatch(outs)
+                    else:
+                        from tpu_align.traceback.device import (
+                            _copy_to_host_async,
+                        )
+                        _copy_to_host_async(
+                            [o for o in outs if o is not None]
+                        )
                     launches.append((b, outs, handle))
                 next_up += 1
 
@@ -515,19 +547,24 @@ class AlignmentEngine:
                     device_traceback_bucket_arrays,
                 )
 
-                with timer.phase("kernel"):
-                    np.asarray(scores)  # block on this bucket's fill
                 with timer.phase("backtrack"):
+                    # ONE readback per bucket: the walk's move streams and
+                    # the scores/starts extras arrive in a single
+                    # device_get (the fill+walk ran chained on device; the
+                    # async host copy started at dispatch time, so this
+                    # mostly waits on compute already overlapped with
+                    # previous buckets' replay).  No separate kernel-phase
+                    # sync exists in this mode -- fill time is folded in.
                     if collector is not None:
                         out = device_traceback_bucket_arrays(
                             self.algorithm, b, scores, srow, scol, dirs,
-                            self.params, STRIPE_S, walker=self.walker,
+                            self.params, self.stripe_s, walker=self.walker,
                             handle=handle,
                         )
                     else:
                         out = device_traceback_bucket(
                             self.algorithm, b, scores, srow, scol, dirs,
-                            self.params, STRIPE_S, walker=self.walker,
+                            self.params, self.stripe_s, walker=self.walker,
                             handle=handle,
                         )
                 if collector is not None:
@@ -555,13 +592,19 @@ class AlignmentEngine:
                 _top_up()
                 continue
             with timer.phase("kernel"):
-                # blocks only on this bucket; later kernels keep running
+                # blocks only on this bucket; later kernels keep running.
+                # One coalesced device_get (single round trip on tunneled
+                # backends); the copies were started at dispatch time.
+                got = jax.device_get(
+                    (scores, srow, scol) + ((dirs,) if dirs is not None
+                                            else ())
+                )
                 is_bsw = self.algorithm is Algorithm.BSW
                 fill = BucketFill(
-                    np.asarray(scores), np.asarray(srow), np.asarray(scol),
-                    np.asarray(dirs) if dirs is not None else None,
+                    got[0], got[1], got[2],
+                    got[3] if dirs is not None else None,
                     band=(self.params.band if is_bsw else None),
-                    stagger=(STRIPE_S if (self.kernel == "stagger"
+                    stagger=(self.stripe_s if (self.kernel == "stagger"
                                           and not is_bsw) else None),
                 )
             if collector is not None:

@@ -302,6 +302,63 @@ def _device_walk_banded(params, dirs, start_row, start_col, scores, t_max):
     return packed, t
 
 
+EV_MAX = 32  # event slots per lane in the compacted readback
+
+
+@functools.partial(jax.jit, static_argnames=("ev_max",))
+def _compact_events(packed, start_row, ev_max=EV_MAX):
+    """Compress a walk's packed move stream into per-lane INDEL EVENTS.
+
+    Between two non-diagonal moves every move is diagonal by definition,
+    and the host replay re-derives match/mismatch by comparing sequence
+    bytes -- so the only information the host needs is, per lane, the
+    ordered list of (DP row before the move, ins-or-del).  At read-scale
+    indel rates (~4%) that is ~10 events/pair vs ~540 2-bit phase codes:
+    the device-to-host move-stream transfer shrinks ~4x, which is the
+    binding constraint on the tunneled backend (~35 MB/s,
+    scripts/probe_tunnel.py; PERF.md).
+
+    packed: (T16, B) int32, 16 2-bit codes/word (walk output).
+    start_row: (B,) walk start rows.
+    Returns (events (B, ev_max//2) int32 -- two 15-bit payloads
+    (row << 1 | is_ins) per word, walk order, 0 = empty slot -- and
+    max_nev, the largest per-lane event count: > ev_max means overflow
+    and the caller must fall back to the full stream).
+
+    Payload 0 cannot be a real event: a deletion needs row >= 1 and a
+    row-0 insertion encodes as 1.  Requires T < 2**16 and rows < 2**14
+    (device_walk_dispatch falls back to streams otherwise)."""
+    t16, b = packed.shape
+    t_total = t16 * 16
+    shifts = (2 * jnp.arange(16, dtype=jnp.int32)).reshape(1, 16, 1)
+    codes = ((packed[:, None, :] >> shifts) & 3).reshape(t_total, b)
+    dec_r = jnp.logical_or(codes == 1, codes == 2).astype(jnp.int32)
+    # row BEFORE each move: start_row minus prior row-consuming moves
+    i_pre = (start_row.astype(jnp.int32)[None, :]
+             - (jnp.cumsum(dec_r, axis=0) - dec_r))
+    is_ev = codes >= 2
+    payload = (i_pre << 1) | (codes == 3)
+    tt = jnp.arange(t_total, dtype=jnp.int32)[:, None]
+    key = jnp.where(is_ev, ((t_total - tt) << 15) | payload, 0)
+    keys = jax.lax.top_k(key.T, ev_max)[0]  # (B, ev_max), phase-ascending
+    p = keys & 0x7FFF
+    events = (p[:, 0::2] << 15) | p[:, 1::2]
+    max_nev = jnp.max(jnp.sum(is_ev, axis=0))
+    return events, max_nev
+
+
+def _copy_to_host_async(arrays) -> None:
+    """Start device-to-host copies without blocking.  On a tunneled remote
+    backend this lets bucket N+1's move streams transfer while the host
+    replays bucket N's strings (the V19 print/kernel overlap applied to the
+    D2H direction); the later device_get then finds the data staged."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:  # non-jax array (already host-side)
+            pass
+
+
 def device_walk_dispatch(
     algorithm: Algorithm,
     params: AlignmentParams,
@@ -310,10 +367,18 @@ def device_walk_dispatch(
     stripe_s: int,
     walker: str = "xla",
     t_max: int | None = None,
+    extras: tuple = (),
+    start_copies: bool = True,
 ):
     """Dispatch the device walk asynchronously (JAX chains it after the
     bucket's fill on device -- the engine overlaps bucket N+1's walk with
     bucket N's host replay, the V19 pipelining applied to the V8 walk).
+
+    extras: additional device arrays (e.g. this bucket's scores / start
+    coordinates) to ride the SAME device_get as the move streams --
+    readback coalescing: on a tunneled backend every separate readback
+    costs a full round trip (PERF.md), so the walk result and everything
+    the host replay needs transfer as one unit.
 
     Returns an opaque handle for device_walk_finalize."""
     dirs = jnp.asarray(dirs)
@@ -352,27 +417,108 @@ def device_walk_dispatch(
         raise ValueError(f"unknown walker {walker!r}")
     t_max = t_max or budget
     packed, t = walk(t_max)
-    return walk, packed, t, t_max
+    extras = tuple(extras)
+    if start_copies:
+        _copy_to_host_async((packed, t) + extras)
+    return walk, packed, t, t_max, extras
+
+
+def device_walk_dispatch_events(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    dirs,
+    start_row, start_col, scores,
+    stripe_s: int,
+    walker: str = "xla",
+    extras: tuple = (),
+    ev_max: int = EV_MAX,
+):
+    """Dispatch the device walk with EVENT-COMPACTED readback: only
+    per-lane indel events (_compact_events) + extras transfer; the full
+    packed stream stays on device (fetched only if a lane overflows
+    ev_max).  Falls back to a plain stream handle when the payload
+    encoding cannot represent the shapes (rows >= 2**14 or phase budget
+    >= 2**16 -- long-sequence workloads, which use hirschberg anyway).
+
+    Returns a handle for device_walk_finalize_events."""
+    if algorithm.is_banded:
+        m_rows = dirs.shape[0] * 16
+    else:
+        m_rows = dirs.shape[0] * stripe_s
+    handle = device_walk_dispatch(
+        algorithm, params, dirs, start_row, start_col, scores, stripe_s,
+        walker=walker, extras=extras, start_copies=False,
+    )
+    walk, packed, t, t_max, extras = handle
+    if m_rows >= 1 << 14 or t_max * 16 >= 1 << 16:
+        _copy_to_host_async((packed, t) + extras)
+        return handle  # stream-mode tuple; finalize_events detects it
+    sr = jnp.asarray(start_row).reshape(-1)
+    ev, max_nev = _compact_events(packed, sr, ev_max=ev_max)
+    _copy_to_host_async((ev, t, max_nev) + extras)
+    return {
+        "walk": walk, "packed": packed, "t": t, "t_max": t_max,
+        "extras": extras, "ev": ev, "max_nev": max_nev, "ev_max": ev_max,
+        "start_row": sr,
+    }
+
+
+def device_walk_finalize_events(handle):
+    """Block on an events-mode walk dispatch.  Returns either
+    ("events", events (B, ev_max//2) np.int32, *extras) or
+    ("stream", packed (T16, B) np.int32, steps, *extras) -- the stream
+    form when the handle was a fallback or a lane overflowed ev_max.
+    One device_get per outcome; budget-exhaustion retries double t_max
+    and recompact, exactly like device_walk_finalize."""
+    if isinstance(handle, tuple):
+        out = device_walk_finalize(handle)
+        return ("stream", out[0], out[1], *out[2:])
+    walk, t_max, ev_max = handle["walk"], handle["t_max"], handle["ev_max"]
+    packed, t = handle["packed"], handle["t"]
+    ev, max_nev = handle["ev"], handle["max_nev"]
+    extras = tuple(handle["extras"])
+    sr = handle["start_row"]
+    for _ in range(32):
+        got = jax.device_get((ev, t, max_nev) + extras)
+        ev_np, steps, mx = got[0], int(got[1]), int(got[2])
+        if steps >= t_max - 1:  # phase budget exhausted: rewalk doubled
+            t_max *= 2
+            if t_max * 16 >= 1 << 16:  # payload bits exhausted too
+                packed, t = walk(t_max)
+                out = device_walk_finalize(
+                    (walk, packed, t, t_max, extras))
+                return ("stream", out[0], out[1], *out[2:])
+            packed, t = walk(t_max)
+            ev, max_nev = _compact_events(packed, sr, ev_max=ev_max)
+            continue
+        if mx > ev_max:  # rare: a lane has more indels than ev_max slots
+            packed_np = jax.device_get(packed)
+            return ("stream", packed_np, steps, *got[3:])
+        return ("events", ev_np, *got[3:])
+    raise RuntimeError("device walk failed to converge")  # pragma: no cover
 
 
 def device_walk_finalize(handle):
     """Block on a dispatched walk; returns (packed (T16, B) np.int32,
-    steps int).
+    steps int, *extras) -- extras are the host copies of any arrays that
+    rode along in device_walk_dispatch(extras=...), fetched in the SAME
+    device_get (one round trip for everything).
 
     Phases are shared across lanes (all lanes walk the same DP row), so
     the phase count is data-dependent: lanes spending long insertion runs
     at different rows serialize.  Walks that exhaust the budget are
     detected (steps >= t_max - 1) and retried with a doubled budget --
     the streams would otherwise be silently truncated."""
-    walk, packed, t, t_max = handle
+    walk, packed, t, t_max = handle[:4]
+    extras = handle[4] if len(handle) > 4 else ()
     for _ in range(32):  # 2**32x the M+N budget is unreachable
-        # one device_get for both: on a tunneled device every readback
-        # costs a full round trip (PERF.md measurement methodology)
-        packed_np, t = jax.device_get((packed, t))
+        got = jax.device_get((packed, t) + tuple(extras))
+        packed_np, t = got[0], got[1]
         if int(t) < t_max - 1:
-            return packed_np, int(t)
+            return (packed_np, int(t), *got[2:])
         t_max *= 2
         packed, t = walk(t_max)
+        extras = got[2:]  # already host-side; don't refetch on retry
     raise RuntimeError("device walk failed to converge")  # pragma: no cover
 
 
@@ -461,28 +607,59 @@ def device_traceback_bucket_arrays(
     list[AlignmentResult] instead (callers dispatch on type).
 
     `dirs` stays a device array -- only scores/starts and the packed move
-    stream are ever transferred.  `handle` accepts a walk already
-    dispatched with device_walk_dispatch (the engine pipelines walks
-    across buckets)."""
+    stream (or its event-compacted form) are ever transferred.  `handle`
+    accepts a walk already dispatched with device_walk_dispatch or
+    device_walk_dispatch_events (the engine pipelines walks across
+    buckets)."""
+    nb = bucket.num_real
     if handle is None:
         handle = device_walk_dispatch(
             algorithm, params, dirs, srow, scol, scores, stripe_s,
-            walker=walker,
+            walker=walker, extras=(scores, srow, scol),
         )
-    packed, steps = device_walk_finalize(handle)
-    sc, sr, sj = jax.device_get((scores, srow, scol))
-    sc, sr, sj = np.asarray(sc), np.asarray(sr), np.asarray(sj)
-    nb = bucket.num_real
-    from tpu_align.native import native_replay_moves
+    if isinstance(handle, dict):  # events-mode dispatch
+        out = device_walk_finalize_events(handle)
+        kind, payload, rest = out[0], out[1], out[2:]
+        if kind == "events":
+            sc, sr, sj = (np.asarray(a) for a in rest)
+            from tpu_align.native import native_replay_events
 
-    nat = native_replay_moves(
-        packed, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
-        sr[:nb], sj[:nb], sc[:nb], local=algorithm.is_local,
-    )
-    if nat is not None:
-        out_buf, out_lens = nat
-        return sc[:nb], out_buf, out_lens
-    codes = unpack_moves(packed, steps)
+            p = params
+            nat = native_replay_events(
+                payload, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
+                sr[:nb], sj[:nb], sc[:nb], local=algorithm.is_local,
+                match=p.match, mismatch=p.mismatch, gap=p.gap,
+            )
+            if nat is not None:
+                out_buf, out_lens = nat
+                return sc[:nb], out_buf, out_lens
+            codes = _events_to_codes(payload, sr, sj, sc, bucket,
+                                     algorithm, params)
+            packed, steps = None, codes.shape[0]
+        else:  # stream fallback (overflow / shape bounds)
+            packed, steps = payload, int(rest[0])
+            sc, sr, sj = (np.asarray(a) for a in rest[1:])
+            codes = None
+    else:
+        out = device_walk_finalize(handle)
+        if len(out) == 5:  # scores/starts rode the same readback (one RTT)
+            packed, steps, sc, sr, sj = out
+        else:
+            packed, steps = out[:2]
+            sc, sr, sj = jax.device_get((scores, srow, scol))
+        sc, sr, sj = np.asarray(sc), np.asarray(sr), np.asarray(sj)
+        codes = None
+    if packed is not None:
+        from tpu_align.native import native_replay_moves
+
+        nat = native_replay_moves(
+            packed, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
+            sr[:nb], sj[:nb], sc[:nb], local=algorithm.is_local,
+        )
+        if nat is not None:
+            out_buf, out_lens = nat
+            return sc[:nb], out_buf, out_lens
+        codes = unpack_moves(packed, steps)
     results = []
     for row in range(nb):
         pair_num = int(bucket.pair_ids[row])
@@ -531,6 +708,69 @@ def device_traceback_bucket(
         )
         for row in range(bucket.num_real)
     ]
+
+
+def _events_to_codes(payload, sr, sj, sc, bucket, algorithm, params):
+    """Pure-Python fallback for native_replay_events: expand per-lane
+    event payloads (two 15-bit (row << 1 | is_ins) per int32, 0-ends)
+    into dense (T, nb) move codes equivalent to the device stream --
+    diagonals between events, local re-scoring stop (mirrors
+    native/tpualign.cpp replay_events_range)."""
+    nb = bucket.num_real
+    local = algorithm.is_local
+    t_cap = bucket.qry_tokens.shape[1] + bucket.ref_tokens.shape[1] + 1
+    codes = np.zeros((t_cap, nb), np.uint8)
+    for b in range(nb):
+        rem = int(sc[b])
+        if local and rem <= 0:
+            continue
+        r, c = int(sr[b]), int(sj[b])
+        ref = bucket.ref_tokens[b]
+        qry = bucket.qry_tokens[b]
+        t = 0
+        done = False
+
+        def diag():
+            nonlocal r, c, t, rem, done
+            codes[t, b] = 1
+            t += 1
+            if local:
+                rem -= (params.match if ref[c - 1] == qry[r - 1]
+                        else params.mismatch)
+                if rem <= 0:
+                    done = True
+            r -= 1
+            c -= 1
+
+        for w in range(2 * payload.shape[1]):
+            if done:
+                break
+            word = int(payload[b, w // 2]) & 0xFFFFFFFF
+            p = (word >> 15) & 0x7FFF if w % 2 == 0 else word & 0x7FFF
+            if p == 0:
+                break
+            i_e = p >> 1
+            while r > i_e and not done:
+                diag()
+            if done:
+                break
+            codes[t, b] = 3 if (p & 1) else 2
+            t += 1
+            if p & 1:
+                c -= 1
+            else:
+                r -= 1
+            if local:
+                rem -= params.gap
+                if rem <= 0:
+                    done = True
+        if local:
+            while not done and r > 0 and c > 0:
+                diag()
+        else:
+            while r > 0:
+                diag()
+    return codes
 
 
 def unpack_moves(packed: np.ndarray, steps: int) -> np.ndarray:
