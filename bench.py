@@ -187,24 +187,34 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     ds = synthetic_dataset(num_pairs, uniform_len=seq_len, seed=42)
     engine = AlignmentEngine(
         algo,
-        bucket_spec=BucketSpec(batch_pairs=batch_pairs, pair_multiple=128),
+        # pair_multiple=4096 keeps every bucket batch divisible by the
+        # Pallas walker's widest lane group (walk time ~ B/group)
+        bucket_spec=BucketSpec(batch_pairs=batch_pairs, pair_multiple=4096),
         traceback=traceback_mode,
         walker=walker,
         output=output,
     )
     engine.warmup(ds)
     totals = []
-    best = None  # (total, out, data): phases reported from the FASTEST run
+    best = None  # (total, out, nbytes): phases reported from the FASTEST run
     for _ in range(max(runs, 1)):
         t0 = time.perf_counter()
         out = engine.run(ds)
         with out.timer.phase("printing"):
-            data = out.output_bytes()
+            # the reference's printing analogue: stream the blocks to an
+            # output sink (write(2) of the final byte stream; no extra
+            # in-memory copy of the ~80 MB output)
+            if out.blocks is not None:
+                with open(os.devnull, "wb") as sink:
+                    out.blocks.tofile(sink)
+                nbytes = int(out.blocks.size)
+            else:
+                nbytes = len(out.output_bytes())
         totals.append(time.perf_counter() - t0)
         if best is None or totals[-1] < best[0]:
-            best = (totals[-1], out, data)
+            best = (totals[-1], out, nbytes)
         log(f"run {len(totals)}: {totals[-1]:.3f}s")
-    total, out, data = best
+    total, out, data_len = best
     mean = sum(totals) / len(totals)
     spread = max(totals) - min(totals)
     log(out.timer.report())
@@ -228,7 +238,7 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         "phases": {k: round(v, 6) for k, v in out.timer.seconds.items()},
         "total_s": round(total, 4),
         "gcups_kernel_phase": round(out.gcups, 2),
-        "output_bytes": len(data),
+        "output_bytes": data_len,
         "backend": jax.default_backend(),
     }
 

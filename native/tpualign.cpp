@@ -435,9 +435,138 @@ void replay_events_range(
   }
 }
 
+// Replay event streams straight into formatted 4-line output blocks:
+//     <pair_num> | <score>\n<ref>\n<relation>\n<query>\n
+// written at fixed per-pair stride into `chunk`, with spans[b] =
+// (offset, length).  Fuses replay_events_range + the block formatter --
+// one pass, no intermediate (B, 3, stride) buffer (the e2e profile showed
+// that intermediate costing a full extra write+read of ~100 MB/run).
+void replay_events_blocks_range(
+    int64_t lo, int64_t hi, int64_t ev_words, int64_t n, int64_t m,
+    int local, int match, int mismatch, int gap, const int32_t* events,
+    const uint8_t* ref_tokens, const uint8_t* qry_tokens,
+    const int32_t* start_row, const int32_t* start_col,
+    const int32_t* scores, const int64_t* pair_ids, char* chunk,
+    int64_t blk_stride, int64_t* spans) {
+  const int64_t cap = m + n;
+  std::vector<char> scratch(3 * cap);
+  char* rbuf = scratch.data();
+  char* mbuf = rbuf + cap;
+  char* qbuf = mbuf + cap;
+  for (int64_t b = lo; b < hi; ++b) {
+    char* dst = chunk + b * blk_stride;
+    int64_t r = start_row[b], c = start_col[b];
+    int64_t rem = local ? scores[b] : 1;
+    int64_t pos = cap;
+    bool done = (local && scores[b] <= 0);
+    if (!done) {
+      const uint8_t* ref = ref_tokens + b * n;
+      const uint8_t* qry = qry_tokens + b * m;
+      const int32_t* ev = events + b * ev_words;
+      auto diag = [&]() {
+        const char rc = static_cast<char>(ref[c - 1]);
+        const char qc = static_cast<char>(qry[r - 1]);
+        --pos;
+        rbuf[pos] = rc;
+        mbuf[pos] = rc == qc ? kRelMatch : kRelMismatch;
+        qbuf[pos] = qc;
+        if (local) {
+          rem -= (rc == qc) ? match : mismatch;
+          if (rem <= 0) done = true;
+        }
+        --r; --c;
+      };
+      for (int64_t w = 0; w < 2 * ev_words && !done; ++w) {
+        const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
+        const int p = static_cast<int>(
+            (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+        if (p == 0) break;
+        const int64_t i_e = p >> 1;
+        const bool is_ins = (p & 1) != 0;
+        while (r > i_e && !done) diag();
+        if (done) break;
+        --pos;
+        if (is_ins) {
+          rbuf[pos] = static_cast<char>(ref[c - 1]);
+          mbuf[pos] = kRelGap;
+          qbuf[pos] = kGapChar;
+          --c;
+        } else {
+          rbuf[pos] = kGapChar;
+          mbuf[pos] = kRelGap;
+          qbuf[pos] = static_cast<char>(qry[r - 1]);
+          --r;
+        }
+        if (local) {
+          rem -= gap;
+          if (rem <= 0) done = true;
+        }
+      }
+      if (local) {
+        while (!done && r > 0 && c > 0) diag();
+      } else {
+        while (r > 0) diag();
+      }
+    }
+    const int64_t len = cap - pos;
+    char* d = dst;
+    const int h = std::snprintf(
+        d, 64, "%lld | %d\n", static_cast<long long>(pair_ids[b]),
+        scores[b]);
+    d += h;
+    std::memcpy(d, rbuf + pos, len); d += len; *d++ = '\n';
+    std::memcpy(d, mbuf + pos, len); d += len; *d++ = '\n';
+    std::memcpy(d, qbuf + pos, len); d += len; *d++ = '\n';
+    spans[2 * b] = b * blk_stride;
+    spans[2 * b + 1] = d - dst;
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Fused event replay + block formatting (threaded): chunk must hold
+// batch * blk_stride bytes with blk_stride >= 26 + 3 * (m + n + 1).
+// Returns 0 on success.
+// ---------------------------------------------------------------------------
+int ta_replay_events_blocks(
+    int64_t batch, int64_t ev_words, int64_t n, int64_t m, int local,
+    int match, int mismatch, int gap, const int32_t* events,
+    const uint8_t* ref_tokens, const uint8_t* qry_tokens,
+    const int32_t* start_row, const int32_t* start_col,
+    const int32_t* scores, const int64_t* pair_ids, char* chunk,
+    int64_t blk_stride, int64_t* spans, int num_threads) {
+  if (blk_stride < 26 + 3 * (m + n + 1)) return -1;
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  num_threads = static_cast<int>(
+      std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
+  if (num_threads == 1 || batch < 64) {
+    replay_events_blocks_range(0, batch, ev_words, n, m, local, match,
+                               mismatch, gap, events, ref_tokens,
+                               qry_tokens, start_row, start_col, scores,
+                               pair_ids, chunk, blk_stride, spans);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  const int64_t chunk_rows = (batch + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk_rows;
+    const int64_t hi = std::min<int64_t>(lo + chunk_rows, batch);
+    if (lo >= hi) break;
+    threads.emplace_back(replay_events_blocks_range, lo, hi, ev_words, n,
+                         m, local, match, mismatch, gap, events,
+                         ref_tokens, qry_tokens, start_row, start_col,
+                         scores, pair_ids, chunk, blk_stride, spans);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
 
 // ---------------------------------------------------------------------------
 // Event-compacted device-walk replay: events (batch, ev_words) int32, two
@@ -649,6 +778,150 @@ int64_t ta_gather_spans(const char* src, const int64_t* spans,
     at += spans[2 * b + 1];
   }
   return at;
+}
+
+// Multi-source ordered gather (threaded): block b lives in source
+// part_of[b] at offset spans[2b] with length spans[2b+1]; blocks are
+// emitted in `order`.  dst offsets are prefix-summed first so the copy
+// loop parallelizes.  Replaces concatenate-then-gather (one 78 MB pass
+// instead of three at 100k-pair output scale).
+int64_t ta_gather_parts(const char* const* srcs, const int64_t* spans,
+                        const int32_t* part_of, const int64_t* order,
+                        int64_t count, char* dst, int num_threads) {
+  std::vector<int64_t> dst_off(count + 1);
+  dst_off[0] = 0;
+  for (int64_t k = 0; k < count; ++k) {
+    dst_off[k + 1] = dst_off[k] + spans[2 * order[k] + 1];
+  }
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  auto copy_range = [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      const int64_t b = order[k];
+      std::memcpy(dst + dst_off[k], srcs[part_of[b]] + spans[2 * b],
+                  spans[2 * b + 1]);
+    }
+  };
+  if (num_threads == 1 || count < 1024) {
+    copy_range(0, count);
+    return dst_off[count];
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (count + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(lo + chunk, count);
+    if (lo >= hi) break;
+    threads.emplace_back(copy_range, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  return dst_off[count];
+}
+
+// Vectorized bucket gather: out[b, :lens[b]] = buf[off[b] .. +lens[b]],
+// pad beyond (io/bucketing.py _make_bucket, hoisted from numpy -- the
+// advanced-indexing gather built 67 MB int64 index temporaries).
+void ta_gather_padded(const uint8_t* buf, const int64_t* off,
+                      const int64_t* lens, int64_t rows, int64_t width,
+                      int pad, uint8_t* out, int num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  auto run = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      uint8_t* row = out + b * width;
+      const int64_t n = std::min<int64_t>(lens[b], width);
+      std::memcpy(row, buf + off[b], n);
+      std::memset(row + n, pad, width - n);
+    }
+  };
+  if (num_threads == 1 || rows < 512) {
+    run(0, rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (rows + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(lo + chunk, rows);
+    if (lo >= hi) break;
+    threads.emplace_back(run, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// 2-bit token packing (io/packing.py, hoisted from numpy): tokens
+// (rows, width) uint8 with real content in the first lens[b] bytes.
+// Detects the content alphabet with a 256-bin histogram (no sort);
+// returns the distinct-value count.  If <= 4, fills lut[4] and packs
+// 4 codes/byte into out (rows, width/4); pad positions pack as code 0
+// (regenerated from lens on device unpack).  width must be % 4.
+int ta_pack_2bit(const uint8_t* tokens, const int64_t* lens, int64_t rows,
+                 int64_t width, uint8_t* lut, uint8_t* out,
+                 int num_threads) {
+  bool seen[256] = {};
+  for (int64_t b = 0; b < rows; ++b) {
+    const uint8_t* row = tokens + b * width;
+    const int64_t n = std::min<int64_t>(lens[b], width);
+    for (int64_t k = 0; k < n; ++k) seen[row[k]] = true;
+  }
+  int nv = 0;
+  uint8_t inv[256] = {};
+  for (int v = 0; v < 256; ++v) {
+    if (seen[v]) {
+      if (nv < 4) {
+        lut[nv] = static_cast<uint8_t>(v);
+        inv[v] = static_cast<uint8_t>(nv);
+      }
+      ++nv;
+    }
+  }
+  if (nv > 4) return nv;
+  for (int k = nv; k < 4; ++k) lut[k] = nv ? lut[0] : 0;
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  const int64_t w4 = width / 4;
+  auto run = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      const uint8_t* row = tokens + b * width;
+      const int64_t n = std::min<int64_t>(lens[b], width);
+      uint8_t* dst = out + b * w4;
+      const int64_t full = n / 4;
+      for (int64_t w = 0; w < full; ++w) {
+        const uint8_t* q = row + 4 * w;
+        dst[w] = static_cast<uint8_t>(inv[q[0]] | (inv[q[1]] << 2) |
+                                      (inv[q[2]] << 4) | (inv[q[3]] << 6));
+      }
+      // tail word mixes content and pad (pad codes 0)
+      if (full < w4) {
+        uint8_t acc = 0;
+        for (int64_t k = 4 * full; k < n; ++k) {
+          acc = static_cast<uint8_t>(acc | (inv[row[k]] << (2 * (k % 4))));
+        }
+        dst[full] = acc;
+        std::memset(dst + full + 1, 0, w4 - full - 1);
+      }
+    }
+  };
+  if (num_threads == 1 || rows < 512) {
+    run(0, rows);
+    return nv;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (rows + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min<int64_t>(lo + chunk, rows);
+    if (lo >= hi) break;
+    threads.emplace_back(run, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  return nv;
 }
 
 // ---------------------------------------------------------------------------

@@ -92,8 +92,15 @@ class Bucket:
 
 def _gather_padded(buf: np.ndarray, off: np.ndarray, lens: np.ndarray,
                    width: int, pad: int, rows: int) -> np.ndarray:
-    """Vectorized flat-buffer -> (rows, width) padded token gather."""
+    """Flat-buffer -> (rows, width) padded token gather: threaded native
+    memcpy pass when available, vectorized numpy otherwise."""
     n = len(off)
+    if n:
+        from tpu_align.native import native_gather_padded
+
+        out = native_gather_padded(buf, off, lens, rows, width, pad)
+        if out is not None:
+            return out
     out = np.full((rows, width), pad, np.uint8)
     if n == 0:
         return out

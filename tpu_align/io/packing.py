@@ -29,6 +29,11 @@ def maybe_pack_tokens(tokens: np.ndarray, lens: np.ndarray):
     b, n = tokens.shape
     if n % 4 or b == 0:
         return None
+    from tpu_align.native import native_pack_2bit
+
+    nat = native_pack_2bit(tokens, np.asarray(lens))
+    if nat is not None:
+        return None if len(nat) == 3 else nat  # 3-tuple = wide alphabet
     col = np.arange(n, dtype=np.int64)
     mask = col < np.asarray(lens).reshape(-1, 1)
     seen = np.zeros(256, bool)

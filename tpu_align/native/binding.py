@@ -116,6 +116,22 @@ def _configure(lib) -> None:
         ctypes.POINTER(ctypes.c_int32),  # out_scores (nullable)
         ctypes.c_int,                    # num_threads
     ]
+    lib.ta_replay_events_blocks.restype = ctypes.c_int
+    lib.ta_replay_events_blocks.argtypes = [
+        i64, i64, i64, i64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),  # events
+        ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
+        ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
+        ctypes.POINTER(ctypes.c_int32),  # start_row
+        ctypes.POINTER(ctypes.c_int32),  # start_col
+        ctypes.POINTER(ctypes.c_int32),  # scores
+        ctypes.POINTER(i64),             # pair_ids
+        ctypes.c_char_p,                 # chunk
+        i64,                             # blk_stride
+        ctypes.POINTER(i64),             # spans
+        ctypes.c_int,                    # num_threads
+    ]
     lib.ta_format_blocks.restype = i64
     lib.ta_format_blocks.argtypes = [
         i64,
@@ -136,6 +152,28 @@ def _configure(lib) -> None:
         ctypes.POINTER(i64),             # order
         i64,                             # count
         ctypes.c_char_p,                 # dst
+    ]
+    lib.ta_gather_parts.restype = i64
+    lib.ta_gather_parts.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),  # srcs
+        ctypes.POINTER(i64),              # spans
+        ctypes.POINTER(ctypes.c_int32),   # part_of
+        ctypes.POINTER(i64),              # order
+        i64,                              # count
+        ctypes.c_char_p,                  # dst
+        ctypes.c_int,                     # num_threads
+    ]
+    lib.ta_gather_padded.restype = None
+    lib.ta_gather_padded.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(i64),
+        ctypes.POINTER(i64), i64, i64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.ta_pack_2bit.restype = ctypes.c_int
+    lib.ta_pack_2bit.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(i64), i64, i64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
     ]
     lib.ta_count_pairs.restype = i64
     lib.ta_count_pairs.argtypes = [ctypes.POINTER(ctypes.c_uint8), i64]
@@ -302,6 +340,51 @@ def native_replay_events(
     return out_buf, out_lens
 
 
+def native_replay_events_blocks(
+    events: np.ndarray,      # (B, ev_words) int32
+    ref_tokens: np.ndarray,  # (B, N) uint8
+    qry_tokens: np.ndarray,  # (B, M) uint8
+    start_row: np.ndarray,
+    start_col: np.ndarray,
+    scores: np.ndarray,
+    pair_ids: np.ndarray,    # (B,) int64
+    local: bool,
+    match: int, mismatch: int, gap: int,
+    num_threads: int = 0,
+):
+    """Fused event replay + 4-line block formatting: one native pass from
+    event streams to the final output bytes.  Returns (chunk uint8,
+    spans (B, 2) int64) or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b, n = ref_tokens.shape
+    m = qry_tokens.shape[1]
+    ev_words = events.shape[1]
+    blk_stride = 26 + 3 * (m + n + 1)
+    events = np.ascontiguousarray(events[:b], np.int32)
+    ref_tokens = np.ascontiguousarray(ref_tokens, np.uint8)
+    qry_tokens = np.ascontiguousarray(qry_tokens, np.uint8)
+    start_row = np.ascontiguousarray(start_row, np.int32)
+    start_col = np.ascontiguousarray(start_col, np.int32)
+    scores = np.ascontiguousarray(scores, np.int32)
+    pair_ids = np.ascontiguousarray(pair_ids, np.int64)
+    chunk = np.empty(b * blk_stride, np.uint8)
+    spans = np.zeros((b, 2), np.int64)
+    rc = lib.ta_replay_events_blocks(
+        b, ev_words, n, m, 1 if local else 0, match, mismatch, gap,
+        _ptr(events, ctypes.c_int32),
+        _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
+        _ptr(start_row, ctypes.c_int32), _ptr(start_col, ctypes.c_int32),
+        _ptr(scores, ctypes.c_int32), _ptr(pair_ids, ctypes.c_int64),
+        chunk.ctypes.data_as(ctypes.c_char_p), blk_stride,
+        _ptr(spans, ctypes.c_int64), num_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"ta_replay_events_blocks failed: {rc}")
+    return chunk, spans
+
+
 def native_format_blocks(
     pair_ids: np.ndarray,   # (B,)
     scores: np.ndarray,     # (B,)
@@ -364,6 +447,78 @@ def native_gather_spans(src: np.ndarray, spans: np.ndarray,
     )
     assert done == total, (done, total)
     return dst
+
+
+def native_gather_parts(srcs, spans: np.ndarray, part_of: np.ndarray,
+                        order: np.ndarray, num_threads: int = 0):
+    """Multi-source ordered span gather (threaded).  srcs: list of uint8
+    arrays; block b = srcs[part_of[b]][spans[b,0]:+spans[b,1]].  Returns
+    the gathered uint8 array or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    srcs = [np.ascontiguousarray(s, np.uint8) for s in srcs]
+    spans = np.ascontiguousarray(spans, np.int64)
+    part_of = np.ascontiguousarray(part_of, np.int32)
+    order = np.ascontiguousarray(order, np.int64)
+    total = int(spans[order, 1].sum()) if order.size else 0
+    dst = np.empty(total, np.uint8)
+    ptrs = (ctypes.c_char_p * max(len(srcs), 1))(
+        *(s.ctypes.data_as(ctypes.c_char_p) for s in srcs))
+    done = lib.ta_gather_parts(
+        ptrs, _ptr(spans, ctypes.c_int64), _ptr(part_of, ctypes.c_int32),
+        _ptr(order, ctypes.c_int64), order.shape[0],
+        dst.ctypes.data_as(ctypes.c_char_p), num_threads,
+    )
+    assert done == total, (done, total)
+    return dst
+
+
+def native_gather_padded(buf: np.ndarray, off: np.ndarray, lens: np.ndarray,
+                         rows: int, width: int, pad: int,
+                         num_threads: int = 0):
+    """Flat-buffer -> (rows, width) padded token gather (threaded).
+    Returns the uint8 array or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    off = np.ascontiguousarray(off, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty((rows, width), np.uint8)
+    n = len(off)
+    if n < rows:  # padding rows beyond the real batch
+        out[n:] = pad
+    lib.ta_gather_padded(
+        _ptr(buf, ctypes.c_uint8), _ptr(off, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), n, width, pad,
+        _ptr(out, ctypes.c_uint8), num_threads,
+    )
+    return out
+
+
+def native_pack_2bit(tokens: np.ndarray, lens: np.ndarray,
+                     num_threads: int = 0):
+    """2-bit token packing (threaded; see io/packing.py contract).
+    Returns (packed (B, W/4) uint8, lut (4,) uint8), the distinct-value
+    count as third element if > 4 (caller falls back to raw upload), or
+    None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows, width = tokens.shape
+    tokens = np.ascontiguousarray(tokens, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int64)
+    lut = np.zeros(4, np.uint8)
+    out = np.empty((rows, width // 4), np.uint8)
+    nv = lib.ta_pack_2bit(
+        _ptr(tokens, ctypes.c_uint8), _ptr(lens, ctypes.c_int64),
+        rows, width, _ptr(lut, ctypes.c_uint8), _ptr(out, ctypes.c_uint8),
+        num_threads,
+    )
+    if nv > 4:
+        return (None, None, nv)
+    return (out, lut)
 
 
 def native_parse_pair_bytes(data: bytes, translate_digits: bool = True):

@@ -107,6 +107,14 @@ class _BlockCollector:
         self.parts.append((ids.astype(np.int64), scores.astype(np.int64),
                            chunk, spans))
 
+    def add_chunk(self, ids, scores, chunk, spans) -> None:
+        """Add pre-formatted blocks (the fused native replay+format path,
+        ta_replay_events_blocks): chunk holds each pair's 4-line block at
+        spans[b] = (offset, length)."""
+        self.parts.append((np.asarray(ids, np.int64).reshape(-1),
+                           np.asarray(scores, np.int64).reshape(-1),
+                           chunk, spans))
+
     def add_scores(self, ids, scores) -> None:
         """Scores-only blocks: header line + three empty lines (the
         reference's V6 output shape)."""
@@ -136,27 +144,40 @@ class _BlockCollector:
         return np.frombuffer(b"".join(blobs), np.uint8), spans
 
     def finalize(self):
-        """-> (blocks uint8 byte stream, scores int64), both pair-ordered."""
-        from tpu_align.native import native_gather_spans
+        """-> (blocks uint8 byte stream, scores int64), both pair-ordered.
+
+        The native multi-source gather (ta_gather_parts) copies each
+        block straight from its part's chunk into the final buffer --
+        one threaded pass over the output bytes instead of
+        concatenate + gather (3 full passes at ~78 MB/100k pairs)."""
+        from tpu_align.native import native_gather_parts, native_gather_spans
 
         if not self.parts:
             return np.zeros(0, np.uint8), np.zeros(0, np.int64)
         ids = np.concatenate([p[0] for p in self.parts])
         scores = np.concatenate([p[1] for p in self.parts])
         spans = np.vstack([p[3] for p in self.parts])
-        base = row = 0
-        for p in self.parts:
-            spans[row:row + p[3].shape[0], 0] += base
-            base += p[2].size
-            row += p[3].shape[0]
-        src = (np.concatenate([p[2] for p in self.parts])
-               if len(self.parts) > 1 else self.parts[0][2])
+        part_of = np.concatenate([
+            np.full(p[3].shape[0], k, np.int32)
+            for k, p in enumerate(self.parts)
+        ])
         order = np.argsort(ids, kind="stable")
-        blocks = native_gather_spans(src, spans, order)
-        if blocks is None:  # pure-Python fallback
-            blocks = (np.concatenate(
-                [src[spans[b, 0]:spans[b, 0] + spans[b, 1]] for b in order]
-            ) if order.size else np.zeros(0, np.uint8))
+        blocks = native_gather_parts([p[2] for p in self.parts], spans,
+                                     part_of, order)
+        if blocks is None:  # native library absent: concatenate + gather
+            base = row = 0
+            for p in self.parts:
+                spans[row:row + p[3].shape[0], 0] += base
+                base += p[2].size
+                row += p[3].shape[0]
+            src = (np.concatenate([p[2] for p in self.parts])
+                   if len(self.parts) > 1 else self.parts[0][2])
+            blocks = native_gather_spans(src, spans, order)
+            if blocks is None:  # pure-Python fallback
+                blocks = (np.concatenate(
+                    [src[spans[b, 0]:spans[b, 0] + spans[b, 1]]
+                     for b in order]
+                ) if order.size else np.zeros(0, np.uint8))
         return blocks, scores[order]
 
 
@@ -513,8 +534,17 @@ class AlignmentEngine:
         # bucket's fill (JAX chains them on device), so bucket N+1's fill
         # AND walk both run while the host replays bucket N's strings.
         device_tb = self.traceback_mode == "device" and self.with_traceback
-        launches: list[tuple[Bucket, tuple, object]] = []
+        launches: list[tuple[Bucket, tuple, object, object]] = []
         next_up = 0
+        # Readback prefetcher: finalize (device_get) launched buckets from
+        # worker threads so several D2H streams run concurrently -- the
+        # tunnel moves ~2x more aggregate bytes/sec with two streams
+        # (scripts/probe_tunnel.py) and transfers overlap host replay.
+        pool = None
+        if device_tb and self.mesh is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=2)
 
         def _top_up():
             nonlocal next_up
@@ -523,9 +553,15 @@ class AlignmentEngine:
                 b = pending[next_up]
                 with timer.phase("dispatch"):
                     outs = self._dispatch(b)
-                    handle = None
+                    handle = fut = None
                     if device_tb and outs[3] is not None:
                         handle = self._walk_dispatch(outs)
+                        if pool is not None:
+                            from tpu_align.traceback.device import (
+                                finalize_any,
+                            )
+                            fut = pool.submit(finalize_any, handle,
+                                              outs[0], outs[1], outs[2])
                     else:
                         from tpu_align.traceback.device import (
                             _copy_to_host_async,
@@ -533,53 +569,68 @@ class AlignmentEngine:
                         _copy_to_host_async(
                             [o for o in outs if o is not None]
                         )
-                    launches.append((b, outs, handle))
+                    launches.append((b, outs, handle, fut))
                 next_up += 1
 
         _top_up()
         while launches:
-            b, (scores, srow, scol, dirs), handle = launches.pop(0)
+            b, (scores, srow, scol, dirs), handle, fut = launches.pop(0)
             if device_tb and dirs is not None:
                 # V8-style: dirs never leave the device; the walk runs
-                # there and only packed 2-bit move streams transfer
+                # there and only event payloads / packed move streams
+                # transfer.  The finalize (ONE readback per bucket: walk
+                # result + scores/starts in a single device_get) ran on a
+                # prefetch worker, overlapped with earlier buckets' replay.
                 from tpu_align.traceback.device import (
-                    device_traceback_bucket,
-                    device_traceback_bucket_arrays,
+                    AlignmentResult,
+                    bucket_arrays_from_finalized,
+                    bucket_blocks_from_finalized,
+                    finalize_any,
                 )
 
                 with timer.phase("backtrack"):
-                    # ONE readback per bucket: the walk's move streams and
-                    # the scores/starts extras arrive in a single
-                    # device_get (the fill+walk ran chained on device; the
-                    # async host copy started at dispatch time, so this
-                    # mostly waits on compute already overlapped with
-                    # previous buckets' replay).  No separate kernel-phase
-                    # sync exists in this mode -- fill time is folded in.
-                    if collector is not None:
-                        out = device_traceback_bucket_arrays(
-                            self.algorithm, b, scores, srow, scol, dirs,
-                            self.params, self.stripe_s, walker=self.walker,
-                            handle=handle,
-                        )
-                    else:
-                        out = device_traceback_bucket(
-                            self.algorithm, b, scores, srow, scol, dirs,
-                            self.params, self.stripe_s, walker=self.walker,
-                            handle=handle,
-                        )
+                    fin = (fut.result() if fut is not None
+                           else finalize_any(handle, scores, srow, scol))
                 if collector is not None:
                     with timer.phase("printing"):
-                        if isinstance(out, list):  # native replay absent
-                            collector.add_results(out)
+                        part = bucket_blocks_from_finalized(
+                            self.algorithm, b, self.params, fin)
+                        if part is not None:
+                            # fused native replay+format: event streams ->
+                            # final block bytes in one pass
+                            collector.add_chunk(*part)
                         else:
-                            sc, out_buf, out_lens = out
-                            collector.add_arrays(
-                                b.pair_ids[:b.num_real], sc, out_buf,
-                                out_lens,
-                            )
+                            out = bucket_arrays_from_finalized(
+                                self.algorithm, b, self.params, fin)
+                            if isinstance(out, list):  # native lib absent
+                                collector.add_results(out)
+                            else:
+                                sc, out_buf, out_lens = out
+                                collector.add_arrays(
+                                    b.pair_ids[:b.num_real], sc, out_buf,
+                                    out_lens,
+                                )
                     _top_up()
                     continue
-                bucket_results = out
+                with timer.phase("backtrack"):
+                    out = bucket_arrays_from_finalized(
+                        self.algorithm, b, self.params, fin)
+                    if isinstance(out, list):
+                        bucket_results = out
+                    else:
+                        sc, out_buf, out_lens = out
+                        bucket_results = [
+                            AlignmentResult(
+                                int(b.pair_ids[row]), int(sc[row]),
+                                out_buf[row, 0, :out_lens[row]]
+                                .tobytes().decode("ascii"),
+                                out_buf[row, 1, :out_lens[row]]
+                                .tobytes().decode("ascii"),
+                                out_buf[row, 2, :out_lens[row]]
+                                .tobytes().decode("ascii"),
+                            )
+                            for row in range(b.num_real)
+                        ]
                 results.extend(bucket_results)
                 if checkpoint_dir:
                     with timer.phase("printing"):
@@ -653,6 +704,8 @@ class AlignmentEngine:
                         bucket_results,
                     )
             _top_up()  # refill the dispatch window
+        if pool is not None:
+            pool.shutdown(wait=False)
         with timer.phase("backtrack"):
             for i in empty_idx:
                 results.append(self._oracle_fallback(ds, int(i)))

@@ -136,16 +136,19 @@ def decide_step(algorithm, params, code, m, i, j, rem, anw_state, done):
 
 
 def _walk_phase_budget(m_rows: int, w_words: int, spw: int) -> int:
-    """Initial phase budget: M + N(+pad) + slack, whole packed words.
+    """Initial phase budget: M + N(+pad) + M/2 slack, whole packed words.
 
-    This covers every walk whose insertion runs overlap across lanes (one
-    lane's path is at most M + N moves and phases are shared while lanes
-    sit in the same row).  Lanes spending long runs at *different* rows
-    serialize, so the true phase count is data-dependent and can exceed
-    this -- `device_traceback_moves` detects budget exhaustion and retries
-    doubled (same structure as the reference sizing its traceback buffers
-    to worst-case path length, cuda/LNW/LinearNeedlemanWunschV19.cu:81)."""
-    t = m_rows + w_words * spw + 4
+    Lanes spending insertion runs at *different* rows serialize, so the
+    phase count is data-dependent: at read-scale batches (32k lanes)
+    nearly every DP row has SOME lane mid-insertion-run, measured at
+    ~M + N + 0.1*M phases on the 100k-pair workload -- the old +4 slack
+    made every bucket exhaust the budget and silently walk TWICE (the
+    doubling retry).  M/2 covers per-row run maxima with margin;
+    `device_traceback_moves` still detects exhaustion and retries
+    doubled (same structure as the reference sizing its traceback
+    buffers to worst-case path length,
+    cuda/LNW/LinearNeedlemanWunschV19.cu:81)."""
+    t = m_rows + w_words * spw + max(16, m_rows // 2)
     return -(-t // 16) * 16  # whole packed words
 
 
@@ -617,37 +620,83 @@ def device_traceback_bucket_arrays(
             algorithm, params, dirs, srow, scol, scores, stripe_s,
             walker=walker, extras=(scores, srow, scol),
         )
-    if isinstance(handle, dict):  # events-mode dispatch
+    fin = finalize_any(handle, scores, srow, scol)
+    return bucket_arrays_from_finalized(algorithm, bucket, params, fin)
+
+
+def finalize_any(handle, scores=None, srow=None, scol=None):
+    """Finalize either handle kind into a normalized tuple:
+    ("events", ev (B, ev_max//2) np.int32, sc, sr, sj) or
+    ("stream", packed (T16, B) np.int32, steps, sc, sr, sj).
+    scores/srow/scol are only fetched from the device when they did not
+    ride the handle's readback as extras."""
+    if isinstance(handle, dict):
         out = device_walk_finalize_events(handle)
         kind, payload, rest = out[0], out[1], out[2:]
-        if kind == "events":
-            sc, sr, sj = (np.asarray(a) for a in rest)
-            from tpu_align.native import native_replay_events
-
-            p = params
-            nat = native_replay_events(
-                payload, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
-                sr[:nb], sj[:nb], sc[:nb], local=algorithm.is_local,
-                match=p.match, mismatch=p.mismatch, gap=p.gap,
-            )
-            if nat is not None:
-                out_buf, out_lens = nat
-                return sc[:nb], out_buf, out_lens
-            codes = _events_to_codes(payload, sr, sj, sc, bucket,
-                                     algorithm, params)
-            packed, steps = None, codes.shape[0]
-        else:  # stream fallback (overflow / shape bounds)
-            packed, steps = payload, int(rest[0])
-            sc, sr, sj = (np.asarray(a) for a in rest[1:])
-            codes = None
+        steps = None
+        if kind == "stream":
+            steps, rest = int(rest[0]), rest[1:]
     else:
         out = device_walk_finalize(handle)
-        if len(out) == 5:  # scores/starts rode the same readback (one RTT)
-            packed, steps, sc, sr, sj = out
-        else:
-            packed, steps = out[:2]
-            sc, sr, sj = jax.device_get((scores, srow, scol))
-        sc, sr, sj = np.asarray(sc), np.asarray(sr), np.asarray(sj)
+        kind, payload, steps, rest = "stream", out[0], out[1], out[2:]
+    if len(rest) == 3:
+        sc, sr, sj = (np.asarray(a) for a in rest)
+    else:
+        sc, sr, sj = (np.asarray(a)
+                      for a in jax.device_get((scores, srow, scol)))
+    if kind == "events":
+        return ("events", payload, sc, sr, sj)
+    return ("stream", payload, steps, sc, sr, sj)
+
+
+def bucket_blocks_from_finalized(algorithm, bucket, params, fin):
+    """Fused fast path: event streams -> final formatted blocks in ONE
+    native pass (ta_replay_events_blocks; no intermediate string buffer).
+    Returns (pair_ids, scores, chunk, spans) for
+    _BlockCollector.add_chunk, or None when the finalized result is a
+    stream or the native library is absent (caller takes the arrays
+    path)."""
+    if fin[0] != "events":
+        return None
+    from tpu_align.native import native_replay_events_blocks
+
+    _, payload, sc, sr, sj = fin
+    nb = bucket.num_real
+    ids = bucket.pair_ids[:nb]
+    p = params
+    nat = native_replay_events_blocks(
+        payload, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
+        sr[:nb], sj[:nb], sc[:nb], ids, local=algorithm.is_local,
+        match=p.match, mismatch=p.mismatch, gap=p.gap,
+    )
+    if nat is None:
+        return None
+    chunk, spans = nat
+    return ids, sc[:nb], chunk, spans
+
+
+def bucket_arrays_from_finalized(algorithm, bucket, params, fin):
+    """Replay a finalized walk into (scores, out_buf, out_lens) arrays,
+    or a list[AlignmentResult] when the native replayers are absent."""
+    nb = bucket.num_real
+    if fin[0] == "events":
+        _, payload, sc, sr, sj = fin
+        from tpu_align.native import native_replay_events
+
+        p = params
+        nat = native_replay_events(
+            payload, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
+            sr[:nb], sj[:nb], sc[:nb], local=algorithm.is_local,
+            match=p.match, mismatch=p.mismatch, gap=p.gap,
+        )
+        if nat is not None:
+            out_buf, out_lens = nat
+            return sc[:nb], out_buf, out_lens
+        codes = _events_to_codes(payload, sr, sj, sc, bucket,
+                                 algorithm, params)
+        packed, steps = None, codes.shape[0]
+    else:
+        _, packed, steps, sc, sr, sj = fin
         codes = None
     if packed is not None:
         from tpu_align.native import native_replay_moves

@@ -67,10 +67,13 @@ def pallas_t_max_cap(dirs_shape) -> int:
 
 
 def _group_lanes(b: int) -> int:
-    """Widest lane group that divides the batch: more parallel walk chains
-    per program (the per-phase serial chain is latency-bound; independent
-    lane groups give Mosaic work to pipeline)."""
-    for g in (1024, 512, 256, TILE_P):
+    """Widest lane group that divides the batch.  Pallas grid programs run
+    SEQUENTIALLY on the TensorCore, so total walk time ~ (B / group) x
+    phases x per-phase cost: wider groups directly divide the serial
+    phase-loop count (measured: the 32k-pair bucket walk is loop-bound,
+    not VPU-bound).  VMEM caps the group at 4096 lanes (slab + emit
+    buffers ~25 MB)."""
+    for g in (4096, 2048, 1024, 512, 256, TILE_P):
         if b % g == 0:
             return g
     return b  # interpret-mode small batches
