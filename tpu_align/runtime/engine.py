@@ -582,7 +582,6 @@ class AlignmentEngine:
                 # result + scores/starts in a single device_get) ran on a
                 # prefetch worker, overlapped with earlier buckets' replay.
                 from tpu_align.traceback.device import (
-                    AlignmentResult,
                     bucket_arrays_from_finalized,
                     bucket_blocks_from_finalized,
                     finalize_any,
