@@ -141,6 +141,9 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
     use_enc = is_local and (
         max(match_w * n_cols, 1) < (1 << (31 - enc_sh))
     )
+    # enc in per-step constant form: ((G + gap*k) << SH) - (k - io + 1)
+    # = (G << SH) + enc_c1*k + (io - 1)
+    enc_c1 = (gap << enc_sh) - 1
 
     def kernel(revref_ref, qry_ref, rlen_ref, qlen_ref, *rest):
         rest = list(rest)
@@ -230,7 +233,7 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
         ktarget = jnp.where(qmask_eq, rlen + io - 1, jnp.int32(NEG))
         kt0 = jnp.where(qmask_eq, ktarget, 0)  # overflow-safe restore factor
 
-        def step(k, sub, carry, inject):
+        def step(k, sub, carry, inject, enc_base=None):
             """One anti-diagonal step: sublane r computes column j = k-r+1.
 
             `inject` (compile-time) enables the j==1 border injections;
@@ -353,17 +356,24 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
 
             jcol = k - iom1  # DP column per sublane
             if use_enc:
-                # per-row running max over enc = (h << SH) - jcol; one
-                # carried max per step.  jcol >= 1 subsumes the io <= k
-                # fill-edge test; rows beyond qlen are discarded at the
-                # stripe merge (junk h never exceeds the true max: padded
-                # ref/qry tokens never match, so junk only decays).
-                # The running max crosses steps of different G-rank, so
-                # restore H = G + k*gap first (the one rank-restore that
-                # cannot be amortized to the stripe merge).
-                valid = jnp.logical_and(jcol >= 1, jcol <= rlen)
-                enc = ((h + gap * k) << enc_sh) - jcol
-                rowmax = jnp.maximum(rowmax, jnp.where(valid, enc, NEG))
+                # per-row running max over enc = (H << SH) - jcol; one
+                # carried max per step.  Algebra folds the G-rank restore
+                # (H = G + gap*k) and the column tiebreak into per-step
+                # constants: enc = (G << SH) + c1*k + (io - 1) with
+                # c1 = (gap << SH) - 1, so the slab work is one shift +
+                # one add (enc_base carries c1*k + io - 1; c1*sub is a
+                # compile-time immediate folded per unrolled step).
+                # Bulk steps (k >= S > io) need NO validity mask: the
+                # fill edge only exists while k < S (inject words), and
+                # cells beyond a lane's rlen/qlen never win -- padded
+                # tokens never match, so junk H strictly decays below the
+                # row's valid maximum (rows > qlen are masked at the
+                # stripe merge; the argmax is only consumed when the
+                # global best > 0).
+                enc = (h << enc_sh) + (enc_base + _imm32(enc_c1 * sub))
+                if inject:
+                    enc = jnp.where(io <= k, enc, NEG)
+                rowmax = jnp.maximum(rowmax, enc)
             elif is_local:
                 # per-row running max (strict > keeps the earliest column);
                 # merged across rows once per stripe below
@@ -400,8 +410,12 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             st = slabs[:nslab] + (acc,) + word_carry
             bot_rows, botf_rows = [], []
             caph_rows, capf_rows = [], []
+            # per-word slab constant of the enc running max: c1*k + io - 1
+            # at k = wi*spw (the per-sub remainder folds as an immediate)
+            enc_base = (iom1 + enc_c1 * (wi * spw)) if use_enc else None
             for sub in range(spw):
-                st = step(wi * spw + sub, sub, st, inject)
+                st = step(wi * spw + sub, sub, st, inject,
+                          enc_base=enc_base)
                 bot_rows.append(st[0][S - 1:S, :])
                 if is_affine:
                     botf_rows.append(st[2][S - 1:S, :])
