@@ -531,6 +531,9 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     # counterpart: Mosaic cannot lower sub-32-bit rotates ("Rotate with
     # non-32-bit data") and the v5e VPU has 32-bit lanes, so int16 state
     # would not raise throughput; a vreg already holds 1024 SIMD lanes.
+    # MEASURED (scripts/exp_s16x2.py, real v5e): a SWAR 2-pairs-per-int32
+    # variant of the stagger core runs at 0.77x the int32 core -- the 2x
+    # density loses to the ~2.6x packed add/max op multiplier.
     sdt = jnp.int32
     kernel = _make_kernel(algorithm, params, n, tile_p, with_traceback,
                           score_dtype=sdt, unroll=4 if interpret else None,
