@@ -15,6 +15,7 @@
 // (cuda/LNW/LinearNeedlemanWunschV5.cu:393-430).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -343,6 +344,45 @@ void replay_range(
   }
 }
 
+// Emit `run` diagonal moves in one shot (global walks only -- no early
+// stop).  The walk is backward and the output buffers also fill backward,
+// so both source ranges are contiguous AND order-preserving: the token
+// copies collapse to memcpy and the relation-byte compare auto-vectorizes.
+// Returns the number of matches in the run (for score re-derivation).
+static inline int64_t fill_diag_run(int64_t run, int64_t& r, int64_t& c,
+                                    int64_t& pos, const uint8_t* ref,
+                                    const uint8_t* qry, char* rbuf,
+                                    char* mbuf, char* qbuf) {
+  pos -= run;
+  r -= run;
+  c -= run;
+  const uint8_t* rs = ref + c;
+  const uint8_t* qs = qry + r;
+  std::memcpy(rbuf + pos, rs, static_cast<size_t>(run));
+  std::memcpy(qbuf + pos, qs, static_cast<size_t>(run));
+  char* mb = mbuf + pos;
+  int64_t matches = 0;
+  for (int64_t k = 0; k < run; ++k) {
+    const bool eq = rs[k] == qs[k];
+    mb[k] = eq ? kRelMatch : kRelMismatch;
+    matches += eq;
+  }
+  return matches;
+}
+
+// Decimal rendering width of v under printf "%lld" / "%d".
+static inline int dec_len(long long v) {
+  int d = v < 0 ? 2 : 1;  // sign + first digit
+  unsigned long long u =
+      v < 0 ? 0ULL - static_cast<unsigned long long>(v)
+            : static_cast<unsigned long long>(v);
+  while (u >= 10) {
+    u /= 10;
+    ++d;
+  }
+  return d;
+}
+
 // Replay a lane's EVENT-compacted device walk (tpu_align/traceback/
 // device.py _compact_events): per lane, ev_words int32 words each packing
 // two 15-bit payloads (hi = earlier event): payload = (row << 1) | is_ins,
@@ -398,8 +438,15 @@ void replay_events_range(
       if (p == 0) break;  // end of event list
       const int64_t i_e = p >> 1;
       const bool is_ins = (p & 1) != 0;
-      while (r > i_e && !done) diag();
-      if (done) break;
+      if (local) {
+        while (r > i_e && !done) diag();
+        if (done) break;
+      } else if (r > i_e) {  // global: coalesce the diagonal stretch
+        const int64_t run = r - i_e;
+        const int64_t mt =
+            fill_diag_run(run, r, c, pos, ref, qry, rbuf, mbuf, qbuf);
+        acc += mt * match + (run - mt) * mismatch;
+      }
       --pos;
       if (is_ins) {
         rbuf[pos] = static_cast<char>(ref[c - 1]);
@@ -420,8 +467,11 @@ void replay_events_range(
     }
     if (local) {
       while (!done && r > 0 && c > 0) diag();
-    } else {
-      while (r > 0) diag();  // trailing diagonals to (0, 0); r == c here
+    } else if (r > 0) {  // trailing diagonals to (0, 0); r == c here
+      const int64_t run = r;
+      const int64_t mt =
+          fill_diag_run(run, r, c, pos, ref, qry, rbuf, mbuf, qbuf);
+      acc += mt * match + (run - mt) * mismatch;
     }
     const int64_t len = cap - pos;
     out_lens[b] = static_cast<int32_t>(len);
@@ -447,22 +497,52 @@ void replay_events_blocks_range(
     const uint8_t* ref_tokens, const uint8_t* qry_tokens,
     const int32_t* start_row, const int32_t* start_col,
     const int32_t* scores, const int64_t* pair_ids, char* chunk,
-    int64_t blk_stride, int64_t* spans) {
+    int64_t blk_stride, const int64_t* dst_off, int64_t* spans) {
   const int64_t cap = m + n;
-  std::vector<char> scratch(3 * cap);
-  char* rbuf = scratch.data();
-  char* mbuf = rbuf + cap;
-  char* qbuf = mbuf + cap;
+  std::vector<char> scratch;
+  const bool dense = (!local && dst_off != nullptr);
+  if (!dense) scratch.resize(3 * cap);
   for (int64_t b = lo; b < hi; ++b) {
-    char* dst = chunk + b * blk_stride;
+    char hdr[64];
+    const int h = std::snprintf(
+        hdr, sizeof(hdr), "%lld | %d\n",
+        static_cast<long long>(pair_ids[b]), scores[b]);
+    char* dst = chunk + (dense ? dst_off[b] : b * blk_stride);
+    const uint8_t* ref = ref_tokens + b * n;
+    const uint8_t* qry = qry_tokens + b * m;
+    const int32_t* ev = events + b * ev_words;
+    char *rbuf, *mbuf, *qbuf;
+    int64_t bufcap;
+    if (dense) {
+      // Dense direct write: the final alignment length is derivable from
+      // the events alone (L = start_row + #insertions), so the three
+      // lines land straight in the output buffer at their final
+      // positions -- no scratch, no post-copy.  dst_off was computed
+      // with ta_events_block_lens from the SAME events, so the backward
+      // fill ends exactly at offset 0 of each line.
+      int64_t ins = 0;
+      for (int64_t w = 0; w < 2 * ev_words; ++w) {
+        const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
+        const int p = static_cast<int>(
+            (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+        if (p == 0) break;
+        ins += p & 1;
+      }
+      bufcap = start_row[b] + ins;
+      rbuf = dst + h;
+      mbuf = rbuf + bufcap + 1;
+      qbuf = mbuf + bufcap + 1;
+    } else {
+      rbuf = scratch.data();
+      mbuf = rbuf + cap;
+      qbuf = mbuf + cap;
+      bufcap = cap;
+    }
     int64_t r = start_row[b], c = start_col[b];
     int64_t rem = local ? scores[b] : 1;
-    int64_t pos = cap;
+    int64_t pos = bufcap;
     bool done = (local && scores[b] <= 0);
     if (!done) {
-      const uint8_t* ref = ref_tokens + b * n;
-      const uint8_t* qry = qry_tokens + b * m;
-      const int32_t* ev = events + b * ev_words;
       auto diag = [&]() {
         const char rc = static_cast<char>(ref[c - 1]);
         const char qc = static_cast<char>(qry[r - 1]);
@@ -483,8 +563,12 @@ void replay_events_blocks_range(
         if (p == 0) break;
         const int64_t i_e = p >> 1;
         const bool is_ins = (p & 1) != 0;
-        while (r > i_e && !done) diag();
-        if (done) break;
+        if (local) {
+          while (r > i_e && !done) diag();
+          if (done) break;
+        } else if (r > i_e) {  // global: coalesce the diagonal stretch
+          fill_diag_run(r - i_e, r, c, pos, ref, qry, rbuf, mbuf, qbuf);
+        }
         --pos;
         if (is_ins) {
           rbuf[pos] = static_cast<char>(ref[c - 1]);
@@ -504,21 +588,28 @@ void replay_events_blocks_range(
       }
       if (local) {
         while (!done && r > 0 && c > 0) diag();
-      } else {
-        while (r > 0) diag();
+      } else if (r > 0) {
+        fill_diag_run(r, r, c, pos, ref, qry, rbuf, mbuf, qbuf);
       }
     }
-    const int64_t len = cap - pos;
-    char* d = dst;
-    const int h = std::snprintf(
-        d, 64, "%lld | %d\n", static_cast<long long>(pair_ids[b]),
-        scores[b]);
-    d += h;
-    std::memcpy(d, rbuf + pos, len); d += len; *d++ = '\n';
-    std::memcpy(d, mbuf + pos, len); d += len; *d++ = '\n';
-    std::memcpy(d, qbuf + pos, len); d += len; *d++ = '\n';
-    spans[2 * b] = b * blk_stride;
-    spans[2 * b + 1] = d - dst;
+    const int64_t len = bufcap - pos;
+    if (dense) {
+      std::memcpy(dst, hdr, static_cast<size_t>(h));
+      rbuf[len] = '\n';
+      mbuf[len] = '\n';
+      qbuf[len] = '\n';
+      spans[2 * b] = dst - chunk;
+      spans[2 * b + 1] = h + 3 * (len + 1);
+    } else {
+      char* d = dst;
+      std::memcpy(d, hdr, static_cast<size_t>(h));
+      d += h;
+      std::memcpy(d, rbuf + pos, len); d += len; *d++ = '\n';
+      std::memcpy(d, mbuf + pos, len); d += len; *d++ = '\n';
+      std::memcpy(d, qbuf + pos, len); d += len; *d++ = '\n';
+      spans[2 * b] = dst - chunk;
+      spans[2 * b + 1] = d - dst;
+    }
   }
 }
 
@@ -537,8 +628,13 @@ int ta_replay_events_blocks(
     const uint8_t* ref_tokens, const uint8_t* qry_tokens,
     const int32_t* start_row, const int32_t* start_col,
     const int32_t* scores, const int64_t* pair_ids, char* chunk,
-    int64_t blk_stride, int64_t* spans, int num_threads) {
-  if (blk_stride < 26 + 3 * (m + n + 1)) return -1;
+    int64_t blk_stride, const int64_t* dst_off, int64_t* spans,
+    int num_threads) {
+  if (dst_off != nullptr) {
+    if (local) return -2;  // dense mode needs event-derivable lengths
+  } else if (blk_stride < 26 + 3 * (m + n + 1)) {
+    return -1;
+  }
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (num_threads <= 0) num_threads = 1;
@@ -549,7 +645,7 @@ int ta_replay_events_blocks(
     replay_events_blocks_range(0, batch, ev_words, n, m, local, match,
                                mismatch, gap, events, ref_tokens,
                                qry_tokens, start_row, start_col, scores,
-                               pair_ids, chunk, blk_stride, spans);
+                               pair_ids, chunk, blk_stride, dst_off, spans);
     return 0;
   }
   std::vector<std::thread> threads;
@@ -562,10 +658,35 @@ int ta_replay_events_blocks(
     threads.emplace_back(replay_events_blocks_range, lo, hi, ev_words, n,
                          m, local, match, mismatch, gap, events,
                          ref_tokens, qry_tokens, start_row, start_col,
-                         scores, pair_ids, chunk, blk_stride, spans);
+                         scores, pair_ids, chunk, blk_stride, dst_off,
+                         spans);
   }
   for (auto& th : threads) th.join();
   return 0;
+}
+
+// Per-pair formatted block lengths, derived from events alone (global
+// walks): aligned length L = start_row + #insertions, block length =
+// header + 3 * (L + 1).  Feeding these through a prefix sum gives exact
+// dense dst offsets for ta_replay_events_blocks(dst_off=...).
+void ta_events_block_lens(int64_t batch, int64_t ev_words,
+                          const int32_t* events, const int32_t* start_row,
+                          const int64_t* pair_ids, const int32_t* scores,
+                          int64_t* lens) {
+  for (int64_t b = 0; b < batch; ++b) {
+    const int32_t* ev = events + b * ev_words;
+    int64_t ins = 0;
+    for (int64_t w = 0; w < 2 * ev_words; ++w) {
+      const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
+      const int p = static_cast<int>(
+          (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+      if (p == 0) break;
+      ins += p & 1;
+    }
+    const int64_t L = start_row[b] + ins;
+    lens[b] = dec_len(pair_ids[b]) + 3 + dec_len(scores[b]) + 1 +
+              3 * (L + 1);
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -788,36 +909,57 @@ int64_t ta_gather_spans(const char* src, const int64_t* spans,
 int64_t ta_gather_parts(const char* const* srcs, const int64_t* spans,
                         const int32_t* part_of, const int64_t* order,
                         int64_t count, char* dst, int num_threads) {
-  std::vector<int64_t> dst_off(count + 1);
-  dst_off[0] = 0;
+  // Coalesce source-adjacent blocks into runs first: when a part's chunk
+  // is already dense and pair-ordered (the dense replay path), the whole
+  // part collapses to ONE run and the gather becomes a handful of large
+  // memcpys instead of `count` ~800-byte ones.
+  struct Run { const char* src; int64_t dst; int64_t len; };
+  std::vector<Run> runs;
+  runs.reserve(256);
+  int64_t at = 0;
   for (int64_t k = 0; k < count; ++k) {
-    dst_off[k + 1] = dst_off[k] + spans[2 * order[k] + 1];
+    const int64_t b = order[k];
+    const char* src = srcs[part_of[b]] + spans[2 * b];
+    const int64_t len = spans[2 * b + 1];
+    if (!runs.empty() && runs.back().src + runs.back().len == src) {
+      runs.back().len += len;
+    } else {
+      runs.push_back({src, at, len});
+    }
+    at += len;
   }
+  const int64_t total = at;
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (num_threads <= 0) num_threads = 1;
   }
-  auto copy_range = [&](int64_t lo, int64_t hi) {
-    for (int64_t k = lo; k < hi; ++k) {
-      const int64_t b = order[k];
-      std::memcpy(dst + dst_off[k], srcs[part_of[b]] + spans[2 * b],
-                  spans[2 * b + 1]);
+  if (num_threads == 1 || total < (1 << 20)) {
+    for (const Run& run : runs) std::memcpy(dst + run.dst, run.src, run.len);
+    return total;
+  }
+  // Split runs into fixed tiles so a few huge runs still spread across
+  // all threads.
+  constexpr int64_t kTile = 2 << 20;
+  std::vector<Run> tiles;
+  tiles.reserve(static_cast<size_t>(total / kTile + runs.size() + 1));
+  for (const Run& run : runs) {
+    for (int64_t o = 0; o < run.len; o += kTile) {
+      tiles.push_back({run.src + o, run.dst + o,
+                       std::min<int64_t>(kTile, run.len - o)});
+    }
+  }
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const size_t k = next.fetch_add(1, std::memory_order_relaxed);
+      if (k >= tiles.size()) return;
+      std::memcpy(dst + tiles[k].dst, tiles[k].src, tiles[k].len);
     }
   };
-  if (num_threads == 1 || count < 1024) {
-    copy_range(0, count);
-    return dst_off[count];
-  }
   std::vector<std::thread> threads;
-  const int64_t chunk = (count + num_threads - 1) / num_threads;
-  for (int t = 0; t < num_threads; ++t) {
-    const int64_t lo = t * chunk;
-    const int64_t hi = std::min<int64_t>(lo + chunk, count);
-    if (lo >= hi) break;
-    threads.emplace_back(copy_range, lo, hi);
-  }
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
-  return dst_off[count];
+  return total;
 }
 
 // Vectorized bucket gather: out[b, :lens[b]] = buf[off[b] .. +lens[b]],

@@ -129,8 +129,18 @@ def _configure(lib) -> None:
         ctypes.POINTER(i64),             # pair_ids
         ctypes.c_char_p,                 # chunk
         i64,                             # blk_stride
+        ctypes.POINTER(i64),             # dst_off (nullable)
         ctypes.POINTER(i64),             # spans
         ctypes.c_int,                    # num_threads
+    ]
+    lib.ta_events_block_lens.restype = None
+    lib.ta_events_block_lens.argtypes = [
+        i64, i64,
+        ctypes.POINTER(ctypes.c_int32),  # events
+        ctypes.POINTER(ctypes.c_int32),  # start_row
+        ctypes.POINTER(i64),             # pair_ids
+        ctypes.POINTER(ctypes.c_int32),  # scores
+        ctypes.POINTER(i64),             # lens
     ]
     lib.ta_format_blocks.restype = i64
     lib.ta_format_blocks.argtypes = [
@@ -340,6 +350,32 @@ def native_replay_events(
     return out_buf, out_lens
 
 
+def native_events_block_lens(
+    events: np.ndarray,      # (B, ev_words) int32
+    start_row: np.ndarray,   # (B,)
+    pair_ids: np.ndarray,    # (B,)
+    scores: np.ndarray,      # (B,)
+):
+    """Exact formatted block length per pair, derived from events alone
+    (GLOBAL walks: aligned length = start_row + #insertions).  Returns
+    (B,) int64 or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b, ev_words = events.shape
+    events = np.ascontiguousarray(events, np.int32)
+    start_row = np.ascontiguousarray(start_row, np.int32)
+    pair_ids = np.ascontiguousarray(pair_ids, np.int64)
+    scores = np.ascontiguousarray(scores, np.int32)
+    lens = np.empty(b, np.int64)
+    lib.ta_events_block_lens(
+        b, ev_words, _ptr(events, ctypes.c_int32),
+        _ptr(start_row, ctypes.c_int32), _ptr(pair_ids, ctypes.c_int64),
+        _ptr(scores, ctypes.c_int32), _ptr(lens, ctypes.c_int64),
+    )
+    return lens
+
+
 def native_replay_events_blocks(
     events: np.ndarray,      # (B, ev_words) int32
     ref_tokens: np.ndarray,  # (B, N) uint8
@@ -351,17 +387,22 @@ def native_replay_events_blocks(
     local: bool,
     match: int, mismatch: int, gap: int,
     num_threads: int = 0,
+    dst_off: np.ndarray | None = None,  # (B,) int64 dense offsets
+    total: int | None = None,           # chunk size when dst_off given
 ):
     """Fused event replay + 4-line block formatting: one native pass from
-    event streams to the final output bytes.  Returns (chunk uint8,
-    spans (B, 2) int64) or None if the library is unavailable."""
+    event streams to the final output bytes.  With dst_off/total (global
+    walks only; from native_events_block_lens + cumsum) the chunk is
+    DENSE -- every block lands at its exact final offset with no stride
+    holes, so downstream gathers coalesce to one memcpy per chunk.
+    Returns (chunk uint8, spans (B, 2) int64) or None if the library is
+    unavailable."""
     lib = _load()
     if lib is None:
         return None
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
     ev_words = events.shape[1]
-    blk_stride = 26 + 3 * (m + n + 1)
     events = np.ascontiguousarray(events[:b], np.int32)
     ref_tokens = np.ascontiguousarray(ref_tokens, np.uint8)
     qry_tokens = np.ascontiguousarray(qry_tokens, np.uint8)
@@ -369,7 +410,16 @@ def native_replay_events_blocks(
     start_col = np.ascontiguousarray(start_col, np.int32)
     scores = np.ascontiguousarray(scores, np.int32)
     pair_ids = np.ascontiguousarray(pair_ids, np.int64)
-    chunk = np.empty(b * blk_stride, np.uint8)
+    if dst_off is not None:
+        assert not local and total is not None
+        dst_off = np.ascontiguousarray(dst_off, np.int64)
+        blk_stride = 0
+        chunk = np.empty(int(total), np.uint8)
+        off_ptr = _ptr(dst_off, ctypes.c_int64)
+    else:
+        blk_stride = 26 + 3 * (m + n + 1)
+        chunk = np.empty(b * blk_stride, np.uint8)
+        off_ptr = None
     spans = np.zeros((b, 2), np.int64)
     rc = lib.ta_replay_events_blocks(
         b, ev_words, n, m, 1 if local else 0, match, mismatch, gap,
@@ -378,7 +428,7 @@ def native_replay_events_blocks(
         _ptr(start_row, ctypes.c_int32), _ptr(start_col, ctypes.c_int32),
         _ptr(scores, ctypes.c_int32), _ptr(pair_ids, ctypes.c_int64),
         chunk.ctypes.data_as(ctypes.c_char_p), blk_stride,
-        _ptr(spans, ctypes.c_int64), num_threads,
+        off_ptr, _ptr(spans, ctypes.c_int64), num_threads,
     )
     if rc != 0:
         raise RuntimeError(f"ta_replay_events_blocks failed: {rc}")

@@ -32,6 +32,12 @@ from tpu_align.kernels.stagger import STRIPE_S, fill_stagger_bucket_async
 from tpu_align.oracle.api import align_pair
 from tpu_align.runtime.profiler import PhaseTimer
 from tpu_align.traceback.host import traceback_bucket, traceback_bucket_arrays
+from tpu_align.utils.hostmem import tune_malloc_for_large_buffers
+
+# The engine's host pipeline reallocates ~100 MB of block buffers per run;
+# keep them heap-resident so first-touch faults are paid once per process
+# (utils/hostmem.py).
+tune_malloc_for_large_buffers()
 
 
 @dataclasses.dataclass

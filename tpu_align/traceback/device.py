@@ -658,16 +658,29 @@ def bucket_blocks_from_finalized(algorithm, bucket, params, fin):
     path)."""
     if fin[0] != "events":
         return None
-    from tpu_align.native import native_replay_events_blocks
+    from tpu_align.native import (native_events_block_lens,
+                                  native_replay_events_blocks)
 
     _, payload, sc, sr, sj = fin
     nb = bucket.num_real
     ids = bucket.pair_ids[:nb]
     p = params
+    dst_off = total = None
+    if not algorithm.is_local:
+        # Global walks: block lengths derive from the events alone, so the
+        # chunk is written DENSE at exact final offsets (no stride holes,
+        # no scratch copy) and the collector's final gather coalesces the
+        # whole chunk into one memcpy.
+        lens = native_events_block_lens(payload[:nb], sr[:nb], ids, sc[:nb])
+        if lens is not None:
+            dst_off = np.zeros(nb, np.int64)
+            np.cumsum(lens[:-1], out=dst_off[1:])
+            total = int(dst_off[-1] + lens[-1]) if nb else 0
     nat = native_replay_events_blocks(
         payload, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
         sr[:nb], sj[:nb], sc[:nb], ids, local=algorithm.is_local,
         match=p.match, mismatch=p.mismatch, gap=p.gap,
+        dst_off=dst_off, total=total,
     )
     if nat is None:
         return None
