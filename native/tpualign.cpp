@@ -384,16 +384,17 @@ static inline int dec_len(long long v) {
 }
 
 // Replay a lane's EVENT-compacted device walk (tpu_align/traceback/
-// device.py _compact_events): per lane, ev_words int32 words each packing
-// two 15-bit payloads (hi = earlier event): payload = (row << 1) | is_ins,
+// device.py _compact_events): flat uint16 payloads, lane b's events at
+// [ev_off[b], ev_off[b+1]) in walk order: payload = (row << 1) | is_ins,
 // payload 0 = end of list.  Between events every move is diagonal; the
 // diagonal count before an event at row i is (r - i).  Global walks finish
 // with r trailing diagonals to (0, 0); local walks re-score and stop when
 // the remaining score reaches 0 (same arithmetic as the device walk's
 // decide_step, so the stop point is identical by construction).
 void replay_events_range(
-    int64_t lo, int64_t hi, int64_t ev_words, int64_t n, int64_t m,
-    int local, int match, int mismatch, int gap, const int32_t* events,
+    int64_t lo, int64_t hi, int64_t n, int64_t m,
+    int local, int match, int mismatch, int gap, const uint16_t* events,
+    const int64_t* ev_off,
     const uint8_t* ref_tokens, const uint8_t* qry_tokens,
     const int32_t* start_row, const int32_t* start_col,
     const int32_t* scores, char* out_buf, int64_t out_stride,
@@ -411,7 +412,8 @@ void replay_events_range(
     }
     const uint8_t* ref = ref_tokens + b * n;
     const uint8_t* qry = qry_tokens + b * m;
-    const int32_t* ev = events + b * ev_words;
+    const uint16_t* ev = events + ev_off[b];
+    const int64_t ne = ev_off[b + 1] - ev_off[b];
     int64_t r = start_row[b], c = start_col[b];
     int64_t rem = local ? scores[b] : 1;
     int64_t acc = 0;  // path score, re-derived (linear weights only)
@@ -431,10 +433,8 @@ void replay_events_range(
       }
       --r; --c;
     };
-    for (int64_t w = 0; w < 2 * ev_words && !done; ++w) {
-      const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
-      const int p = static_cast<int>(
-          (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+    for (int64_t k = 0; k < ne && !done; ++k) {
+      const int p = ev[k];
       if (p == 0) break;  // end of event list
       const int64_t i_e = p >> 1;
       const bool is_ins = (p & 1) != 0;
@@ -492,8 +492,9 @@ void replay_events_range(
 // one pass, no intermediate (B, 3, stride) buffer (the e2e profile showed
 // that intermediate costing a full extra write+read of ~100 MB/run).
 void replay_events_blocks_range(
-    int64_t lo, int64_t hi, int64_t ev_words, int64_t n, int64_t m,
-    int local, int match, int mismatch, int gap, const int32_t* events,
+    int64_t lo, int64_t hi, int64_t n, int64_t m,
+    int local, int match, int mismatch, int gap, const uint16_t* events,
+    const int64_t* ev_off,
     const uint8_t* ref_tokens, const uint8_t* qry_tokens,
     const int32_t* start_row, const int32_t* start_col,
     const int32_t* scores, const int64_t* pair_ids, char* chunk,
@@ -510,7 +511,8 @@ void replay_events_blocks_range(
     char* dst = chunk + (dense ? dst_off[b] : b * blk_stride);
     const uint8_t* ref = ref_tokens + b * n;
     const uint8_t* qry = qry_tokens + b * m;
-    const int32_t* ev = events + b * ev_words;
+    const uint16_t* ev = events + ev_off[b];
+    const int64_t ne = ev_off[b + 1] - ev_off[b];
     char *rbuf, *mbuf, *qbuf;
     int64_t bufcap;
     if (dense) {
@@ -521,10 +523,8 @@ void replay_events_blocks_range(
       // with ta_events_block_lens from the SAME events, so the backward
       // fill ends exactly at offset 0 of each line.
       int64_t ins = 0;
-      for (int64_t w = 0; w < 2 * ev_words; ++w) {
-        const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
-        const int p = static_cast<int>(
-            (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+      for (int64_t k = 0; k < ne; ++k) {
+        const int p = ev[k];
         if (p == 0) break;
         ins += p & 1;
       }
@@ -556,10 +556,8 @@ void replay_events_blocks_range(
         }
         --r; --c;
       };
-      for (int64_t w = 0; w < 2 * ev_words && !done; ++w) {
-        const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
-        const int p = static_cast<int>(
-            (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+      for (int64_t k = 0; k < ne && !done; ++k) {
+        const int p = ev[k];
         if (p == 0) break;
         const int64_t i_e = p >> 1;
         const bool is_ins = (p & 1) != 0;
@@ -623,8 +621,9 @@ extern "C" {
 // Returns 0 on success.
 // ---------------------------------------------------------------------------
 int ta_replay_events_blocks(
-    int64_t batch, int64_t ev_words, int64_t n, int64_t m, int local,
-    int match, int mismatch, int gap, const int32_t* events,
+    int64_t batch, int64_t n, int64_t m, int local,
+    int match, int mismatch, int gap, const uint16_t* events,
+    const int64_t* ev_off,
     const uint8_t* ref_tokens, const uint8_t* qry_tokens,
     const int32_t* start_row, const int32_t* start_col,
     const int32_t* scores, const int64_t* pair_ids, char* chunk,
@@ -642,8 +641,8 @@ int ta_replay_events_blocks(
   num_threads = static_cast<int>(
       std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
   if (num_threads == 1 || batch < 64) {
-    replay_events_blocks_range(0, batch, ev_words, n, m, local, match,
-                               mismatch, gap, events, ref_tokens,
+    replay_events_blocks_range(0, batch, n, m, local, match,
+                               mismatch, gap, events, ev_off, ref_tokens,
                                qry_tokens, start_row, start_col, scores,
                                pair_ids, chunk, blk_stride, dst_off, spans);
     return 0;
@@ -655,8 +654,8 @@ int ta_replay_events_blocks(
     const int64_t lo = t * chunk_rows;
     const int64_t hi = std::min<int64_t>(lo + chunk_rows, batch);
     if (lo >= hi) break;
-    threads.emplace_back(replay_events_blocks_range, lo, hi, ev_words, n,
-                         m, local, match, mismatch, gap, events,
+    threads.emplace_back(replay_events_blocks_range, lo, hi, n,
+                         m, local, match, mismatch, gap, events, ev_off,
                          ref_tokens, qry_tokens, start_row, start_col,
                          scores, pair_ids, chunk, blk_stride, dst_off,
                          spans);
@@ -669,17 +668,17 @@ int ta_replay_events_blocks(
 // walks): aligned length L = start_row + #insertions, block length =
 // header + 3 * (L + 1).  Feeding these through a prefix sum gives exact
 // dense dst offsets for ta_replay_events_blocks(dst_off=...).
-void ta_events_block_lens(int64_t batch, int64_t ev_words,
-                          const int32_t* events, const int32_t* start_row,
+void ta_events_block_lens(int64_t batch,
+                          const uint16_t* events, const int64_t* ev_off,
+                          const int32_t* start_row,
                           const int64_t* pair_ids, const int32_t* scores,
                           int64_t* lens) {
   for (int64_t b = 0; b < batch; ++b) {
-    const int32_t* ev = events + b * ev_words;
+    const uint16_t* ev = events + ev_off[b];
+    const int64_t ne = ev_off[b + 1] - ev_off[b];
     int64_t ins = 0;
-    for (int64_t w = 0; w < 2 * ev_words; ++w) {
-      const uint32_t word = static_cast<uint32_t>(ev[w / 2]);
-      const int p = static_cast<int>(
-          (w % 2 == 0) ? (word >> 15) & 0x7fff : word & 0x7fff);
+    for (int64_t k = 0; k < ne; ++k) {
+      const int p = ev[k];
       if (p == 0) break;
       ins += p & 1;
     }
@@ -690,13 +689,14 @@ void ta_events_block_lens(int64_t batch, int64_t ev_words,
 }
 
 // ---------------------------------------------------------------------------
-// Event-compacted device-walk replay: events (batch, ev_words) int32, two
-// 15-bit (row << 1 | is_ins) payloads per word; out_buf as in
+// Event-compacted device-walk replay: flat uint16 (row << 1 | is_ins)
+// payloads, lane b's events at [ev_off[b], ev_off[b+1]); out_buf as in
 // ta_traceback_bucket.  Returns 0 on success.
 // ---------------------------------------------------------------------------
 int ta_replay_events(
-    int64_t batch, int64_t ev_words, int64_t n, int64_t m, int local,
-    int match, int mismatch, int gap, const int32_t* events,
+    int64_t batch, int64_t n, int64_t m, int local,
+    int match, int mismatch, int gap, const uint16_t* events,
+    const int64_t* ev_off,
     const uint8_t* ref_tokens, const uint8_t* qry_tokens,
     const int32_t* start_row, const int32_t* start_col,
     const int32_t* scores, char* out_buf, int64_t out_stride,
@@ -709,10 +709,10 @@ int ta_replay_events(
   num_threads = static_cast<int>(
       std::min<int64_t>(num_threads, std::max<int64_t>(batch, 1)));
   if (num_threads == 1 || batch < 64) {
-    replay_events_range(0, batch, ev_words, n, m, local, match, mismatch,
-                        gap, events, ref_tokens, qry_tokens, start_row,
-                        start_col, scores, out_buf, out_stride, out_lens,
-                        out_scores);
+    replay_events_range(0, batch, n, m, local, match, mismatch,
+                        gap, events, ev_off, ref_tokens, qry_tokens,
+                        start_row, start_col, scores, out_buf, out_stride,
+                        out_lens, out_scores);
     return 0;
   }
   std::vector<std::thread> threads;
@@ -722,10 +722,10 @@ int ta_replay_events(
     const int64_t lo = t * chunk;
     const int64_t hi = std::min<int64_t>(lo + chunk, batch);
     if (lo >= hi) break;
-    threads.emplace_back(replay_events_range, lo, hi, ev_words, n, m,
-                         local, match, mismatch, gap, events, ref_tokens,
-                         qry_tokens, start_row, start_col, scores, out_buf,
-                         out_stride, out_lens, out_scores);
+    threads.emplace_back(replay_events_range, lo, hi, n, m,
+                         local, match, mismatch, gap, events, ev_off,
+                         ref_tokens, qry_tokens, start_row, start_col,
+                         scores, out_buf, out_stride, out_lens, out_scores);
   }
   for (auto& th : threads) th.join();
   return 0;

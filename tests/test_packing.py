@@ -145,41 +145,36 @@ def test_native_replay_events_matches_python():
     if not available():
         pytest.skip("native library not built")
     rng = np.random.default_rng(3)
-    nb, n, m, ev_words = 24, 32, 32, 32
+    nb, n, m = 24, 32, 32
     bases = np.frombuffer(b"ATCG", np.uint8)
     ref = bases[rng.integers(0, 4, (nb, n))]
     qry = bases[rng.integers(0, 4, (nb, m))]
     # construct consistent event lists: a full walk from (r0, c0) to
-    # (0, 0) with random indels; encode (row << 1 | is_ins).  ev_words
-    # covers the worst-case event count (path length <= r0 + c0)
-    events = np.zeros((nb, ev_words), np.int64)
+    # (0, 0) with random indels; flat (row << 1 | is_ins) uint16 payloads
+    # with per-lane ev_off boundaries (the _compact_events layout)
+    flat: list[int] = []
+    ev_off = np.zeros(nb + 1, np.int64)
     sr = np.zeros(nb, np.int32)
     sj = np.zeros(nb, np.int32)
     for b in range(nb):
         r = c = 20
         sr[b], sj[b] = r, c
-        evs = []
         while r > 0 or c > 0:
             mv = rng.integers(0, 4)
             if c == 0 or (mv == 0 and r > 0):  # deletion at row r
-                evs.append((r << 1) | 0)
+                flat.append((r << 1) | 0)
                 r -= 1
             elif r == 0 or mv == 1:  # insertion at row r
-                evs.append((r << 1) | 1)
+                flat.append((r << 1) | 1)
                 c -= 1
             else:
                 r -= 1
                 c -= 1
-        assert len(evs) <= 2 * ev_words
-        for k, p in enumerate(evs):
-            if k % 2 == 0:
-                events[b, k // 2] |= p << 15
-            else:
-                events[b, k // 2] |= p
-    events = events.astype(np.int32)
+        ev_off[b + 1] = len(flat)
+    events = np.array(flat, np.uint16)
     scores = np.full(nb, 999, np.int32)
     out_buf, out_lens = native_replay_events(
-        events, ref, qry, sr, sj, scores, local=False,
+        events, ev_off, ref, qry, sr, sj, scores, local=False,
         match=3, mismatch=-1, gap=-2)
     # python mirror via _events_to_codes + moves_to_result
     from tpu_align.traceback.device import _events_to_codes, moves_to_result
@@ -189,7 +184,7 @@ def test_native_replay_events_matches_python():
         ref_tokens = ref
         qry_tokens = qry
 
-    codes = _events_to_codes(events, sr, sj, scores, _B,
+    codes = _events_to_codes(events, ev_off, sr, sj, scores, _B,
                              Algorithm.LNW, PARAMS)
     for b in range(nb):
         res = moves_to_result(

@@ -102,9 +102,10 @@ def _configure(lib) -> None:
     ]
     lib.ta_replay_events.restype = ctypes.c_int
     lib.ta_replay_events.argtypes = [
-        i64, i64, i64, i64, ctypes.c_int,
+        i64, i64, i64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32),  # events
+        ctypes.POINTER(ctypes.c_uint16),  # events (flat)
+        ctypes.POINTER(i64),              # ev_off
         ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
         ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
         ctypes.POINTER(ctypes.c_int32),  # start_row
@@ -118,9 +119,10 @@ def _configure(lib) -> None:
     ]
     lib.ta_replay_events_blocks.restype = ctypes.c_int
     lib.ta_replay_events_blocks.argtypes = [
-        i64, i64, i64, i64, ctypes.c_int,
+        i64, i64, i64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32),  # events
+        ctypes.POINTER(ctypes.c_uint16),  # events (flat)
+        ctypes.POINTER(i64),              # ev_off
         ctypes.POINTER(ctypes.c_uint8),  # ref_tokens
         ctypes.POINTER(ctypes.c_uint8),  # qry_tokens
         ctypes.POINTER(ctypes.c_int32),  # start_row
@@ -135,8 +137,9 @@ def _configure(lib) -> None:
     ]
     lib.ta_events_block_lens.restype = None
     lib.ta_events_block_lens.argtypes = [
-        i64, i64,
-        ctypes.POINTER(ctypes.c_int32),  # events
+        i64,
+        ctypes.POINTER(ctypes.c_uint16),  # events (flat)
+        ctypes.POINTER(i64),              # ev_off
         ctypes.POINTER(ctypes.c_int32),  # start_row
         ctypes.POINTER(i64),             # pair_ids
         ctypes.POINTER(ctypes.c_int32),  # scores
@@ -307,7 +310,8 @@ def native_replay_moves(
 
 
 def native_replay_events(
-    events: np.ndarray,      # (B, ev_words) int32, two 15-bit payloads/word
+    events: np.ndarray,      # flat uint16 payloads (row << 1 | is_ins)
+    ev_off: np.ndarray,      # (B + 1,) int64: lane b at [off[b], off[b+1])
     ref_tokens: np.ndarray,  # (B, N) uint8
     qry_tokens: np.ndarray,  # (B, M) uint8
     start_row: np.ndarray,
@@ -326,9 +330,9 @@ def native_replay_events(
         return None
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
-    ev_words = events.shape[1]
     stride = m + n
-    events = np.ascontiguousarray(events[:b], np.int32)
+    events = np.ascontiguousarray(events, np.uint16)
+    ev_off = np.ascontiguousarray(ev_off, np.int64)
     ref_tokens = np.ascontiguousarray(ref_tokens, np.uint8)
     qry_tokens = np.ascontiguousarray(qry_tokens, np.uint8)
     start_row = np.ascontiguousarray(start_row, np.int32)
@@ -337,8 +341,8 @@ def native_replay_events(
     out_buf = np.zeros((b, 3, stride), np.uint8)
     out_lens = np.zeros(b, np.int32)
     rc = lib.ta_replay_events(
-        b, ev_words, n, m, 1 if local else 0, match, mismatch, gap,
-        _ptr(events, ctypes.c_int32),
+        b, n, m, 1 if local else 0, match, mismatch, gap,
+        _ptr(events, ctypes.c_uint16), _ptr(ev_off, ctypes.c_int64),
         _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
         _ptr(start_row, ctypes.c_int32), _ptr(start_col, ctypes.c_int32),
         _ptr(scores, ctypes.c_int32),
@@ -351,7 +355,8 @@ def native_replay_events(
 
 
 def native_events_block_lens(
-    events: np.ndarray,      # (B, ev_words) int32
+    events: np.ndarray,      # flat uint16 payloads
+    ev_off: np.ndarray,      # (B + 1,) int64
     start_row: np.ndarray,   # (B,)
     pair_ids: np.ndarray,    # (B,)
     scores: np.ndarray,      # (B,)
@@ -362,14 +367,15 @@ def native_events_block_lens(
     lib = _load()
     if lib is None:
         return None
-    b, ev_words = events.shape
-    events = np.ascontiguousarray(events, np.int32)
+    b = int(start_row.shape[0])
+    events = np.ascontiguousarray(events, np.uint16)
+    ev_off = np.ascontiguousarray(ev_off, np.int64)
     start_row = np.ascontiguousarray(start_row, np.int32)
     pair_ids = np.ascontiguousarray(pair_ids, np.int64)
     scores = np.ascontiguousarray(scores, np.int32)
     lens = np.empty(b, np.int64)
     lib.ta_events_block_lens(
-        b, ev_words, _ptr(events, ctypes.c_int32),
+        b, _ptr(events, ctypes.c_uint16), _ptr(ev_off, ctypes.c_int64),
         _ptr(start_row, ctypes.c_int32), _ptr(pair_ids, ctypes.c_int64),
         _ptr(scores, ctypes.c_int32), _ptr(lens, ctypes.c_int64),
     )
@@ -377,7 +383,8 @@ def native_events_block_lens(
 
 
 def native_replay_events_blocks(
-    events: np.ndarray,      # (B, ev_words) int32
+    events: np.ndarray,      # flat uint16 payloads
+    ev_off: np.ndarray,      # (B + 1,) int64
     ref_tokens: np.ndarray,  # (B, N) uint8
     qry_tokens: np.ndarray,  # (B, M) uint8
     start_row: np.ndarray,
@@ -402,8 +409,8 @@ def native_replay_events_blocks(
         return None
     b, n = ref_tokens.shape
     m = qry_tokens.shape[1]
-    ev_words = events.shape[1]
-    events = np.ascontiguousarray(events[:b], np.int32)
+    events = np.ascontiguousarray(events, np.uint16)
+    ev_off = np.ascontiguousarray(ev_off, np.int64)
     ref_tokens = np.ascontiguousarray(ref_tokens, np.uint8)
     qry_tokens = np.ascontiguousarray(qry_tokens, np.uint8)
     start_row = np.ascontiguousarray(start_row, np.int32)
@@ -422,8 +429,8 @@ def native_replay_events_blocks(
         off_ptr = None
     spans = np.zeros((b, 2), np.int64)
     rc = lib.ta_replay_events_blocks(
-        b, ev_words, n, m, 1 if local else 0, match, mismatch, gap,
-        _ptr(events, ctypes.c_int32),
+        b, n, m, 1 if local else 0, match, mismatch, gap,
+        _ptr(events, ctypes.c_uint16), _ptr(ev_off, ctypes.c_int64),
         _ptr(ref_tokens, ctypes.c_uint8), _ptr(qry_tokens, ctypes.c_uint8),
         _ptr(start_row, ctypes.c_int32), _ptr(start_col, ctypes.c_int32),
         _ptr(scores, ctypes.c_int32), _ptr(pair_ids, ctypes.c_int64),

@@ -361,8 +361,14 @@ class AlignmentEngine:
         The bucket's scores/starts ride the walk's readback as extras and
         host copies start immediately, so consuming a bucket costs ONE
         device round trip and the transfer overlaps earlier buckets'
-        host replay (readback coalescing + D2H pipelining)."""
-        extras = (outs[0], outs[1], outs[2])  # scores, start_row, start_col
+        host replay (readback coalescing + D2H pipelining).  For GLOBAL
+        aligners the start coordinates are just the pair lengths -- the
+        host already has them (the bucket arrays) -- so only the scores
+        ride the readback."""
+        if self.algorithm.is_local or self.mesh is not None:
+            extras = (outs[0], outs[1], outs[2])
+        else:
+            extras = (outs[0],)  # scores only; starts are host-known
         if self.mesh is not None:
             from tpu_align.distributed.sharding import walk_sharded_dispatch
             return walk_sharded_dispatch(
@@ -371,13 +377,22 @@ class AlignmentEngine:
             )
         from tpu_align.traceback.device import device_walk_dispatch_events
 
-        # event-compacted readback (~4x smaller D2H at read-scale indel
+        # event-compacted readback (~10x smaller D2H at read-scale indel
         # rates); falls back to the full move stream automatically for
         # shapes its payload encoding cannot represent or on overflow
         return device_walk_dispatch_events(
             self.algorithm, self.params, outs[3], outs[1], outs[2],
             outs[0], self.stripe_s, walker=self.walker, extras=extras,
         )
+
+    def _finalize_args(self, b: Bucket, outs):
+        """Arguments for finalize_any beyond the handle: host-side start
+        coordinates for global walks (no device fetch), device handles
+        otherwise (ignored when the extras rode the readback)."""
+        if not self.algorithm.is_local and self.mesh is None:
+            return (outs[0], np.ascontiguousarray(b.qry_len, np.int32),
+                    np.ascontiguousarray(b.ref_len, np.int32))
+        return (outs[0], outs[1], outs[2])
 
     def warmup(self, ds: PairDataset) -> None:
         """Compile every program this dataset's run will execute (keeps
@@ -550,7 +565,8 @@ class AlignmentEngine:
         if device_tb and self.mesh is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            pool = ThreadPoolExecutor(max_workers=2)
+            workers = int(os.environ.get("TPU_ALIGN_PREFETCH", "2"))
+            pool = ThreadPoolExecutor(max_workers=max(workers, 1))
 
         def _top_up():
             nonlocal next_up
@@ -567,7 +583,7 @@ class AlignmentEngine:
                                 finalize_any,
                             )
                             fut = pool.submit(finalize_any, handle,
-                                              outs[0], outs[1], outs[2])
+                                              *self._finalize_args(b, outs))
                     else:
                         from tpu_align.traceback.device import (
                             _copy_to_host_async,
@@ -595,7 +611,9 @@ class AlignmentEngine:
 
                 with timer.phase("backtrack"):
                     fin = (fut.result() if fut is not None
-                           else finalize_any(handle, scores, srow, scol))
+                           else finalize_any(
+                               handle,
+                               *self._finalize_args(b, (scores, srow, scol))))
                 if collector is not None:
                     with timer.phase("printing"):
                         part = bucket_blocks_from_finalized(

@@ -305,34 +305,39 @@ def _device_walk_banded(params, dirs, start_row, start_col, scores, t_max):
     return packed, t
 
 
-EV_MAX = 32  # event slots per lane in the compacted readback
+EV_MAX = 32  # per-lane event slot bound in the compacted readback
+EV_CAP_PER_LANE = 16  # flat buffer slots per lane (bucket-wide average)
 
 
 @functools.partial(jax.jit, static_argnames=("ev_max",))
-def _compact_events(packed, start_row, ev_max=EV_MAX):
-    """Compress a walk's packed move stream into per-lane INDEL EVENTS.
+def _compact_events(packed, start_row, ev_max=EV_MAX, cap_per_lane=None):
+    """Compress a walk's packed move stream into FLAT per-lane INDEL EVENTS.
 
     Between two non-diagonal moves every move is diagonal by definition,
     and the host replay re-derives match/mismatch by comparing sequence
     bytes -- so the only information the host needs is, per lane, the
     ordered list of (DP row before the move, ins-or-del).  At read-scale
-    indel rates (~4%) that is ~10 events/pair vs ~540 2-bit phase codes:
-    the device-to-host move-stream transfer shrinks ~4x, which is the
+    indel rates (~4%) that is ~10 events/pair vs ~540 2-bit phase codes,
+    and the flat layout transfers 2 bytes/event + 2 bytes/lane instead of
+    a (B, ev_max) worst-case-padded rectangle: the device-to-host
+    move-stream transfer shrinks ~10x vs the full stream, which is the
     binding constraint on the tunneled backend (~35 MB/s,
     scripts/probe_tunnel.py; PERF.md).
 
     packed: (T16, B) int32, 16 2-bit codes/word (walk output).
     start_row: (B,) walk start rows.
-    Returns (events (B, ev_max//2) int32 -- two 15-bit payloads
-    (row << 1 | is_ins) per word, walk order, 0 = empty slot -- and
-    max_nev, the largest per-lane event count: > ev_max means overflow
-    and the caller must fall back to the full stream).
+    Returns (flat (B * cap_per_lane,) uint16 -- lane b's events at
+    [sum(nev[:b]), +nev[b]), each payload (row << 1 | is_ins), walk
+    order -- nev (B,) uint16 per-lane counts, max_nev, and total.
+    Overflow (max_nev > ev_max or total > flat.size) means the caller
+    must fall back to the full stream.
 
     Payload 0 cannot be a real event: a deletion needs row >= 1 and a
     row-0 insertion encodes as 1.  Requires T < 2**16 and rows < 2**14
     (device_walk_dispatch falls back to streams otherwise)."""
     t16, b = packed.shape
     t_total = t16 * 16
+    cap = b * (cap_per_lane or EV_CAP_PER_LANE)
     shifts = (2 * jnp.arange(16, dtype=jnp.int32)).reshape(1, 16, 1)
     codes = ((packed[:, None, :] >> shifts) & 3).reshape(t_total, b)
     dec_r = jnp.logical_or(codes == 1, codes == 2).astype(jnp.int32)
@@ -344,10 +349,18 @@ def _compact_events(packed, start_row, ev_max=EV_MAX):
     tt = jnp.arange(t_total, dtype=jnp.int32)[:, None]
     key = jnp.where(is_ev, ((t_total - tt) << 15) | payload, 0)
     keys = jax.lax.top_k(key.T, ev_max)[0]  # (B, ev_max), phase-ascending
-    p = keys & 0x7FFF
-    events = (p[:, 0::2] << 15) | p[:, 1::2]
-    max_nev = jnp.max(jnp.sum(is_ev, axis=0))
-    return events, max_nev
+    p = (keys & 0x7FFF).astype(jnp.uint16)
+    nev = jnp.sum(is_ev, axis=0, dtype=jnp.int32)  # (B,)
+    offs = jnp.cumsum(nev) - nev                   # exclusive prefix
+    total = offs[-1] + nev[-1]
+    slot = jnp.arange(ev_max, dtype=jnp.int32)[None, :]
+    idx = offs[:, None] + slot
+    idx = jnp.where(slot < nev[:, None], idx, cap)  # invalid slots drop
+    flat = jnp.zeros(cap, jnp.uint16).at[idx.reshape(-1)].set(
+        p.reshape(-1), mode="drop")
+    max_nev = jnp.max(nev)
+    return flat, nev.astype(jnp.uint16), max_nev, total
+
 
 
 def _copy_to_host_async(arrays) -> None:
@@ -457,33 +470,35 @@ def device_walk_dispatch_events(
         _copy_to_host_async((packed, t) + extras)
         return handle  # stream-mode tuple; finalize_events detects it
     sr = jnp.asarray(start_row).reshape(-1)
-    ev, max_nev = _compact_events(packed, sr, ev_max=ev_max)
-    _copy_to_host_async((ev, t, max_nev) + extras)
+    ev, nev, max_nev, total = _compact_events(packed, sr, ev_max=ev_max)
+    _copy_to_host_async((ev, nev, t, max_nev, total) + extras)
     return {
         "walk": walk, "packed": packed, "t": t, "t_max": t_max,
-        "extras": extras, "ev": ev, "max_nev": max_nev, "ev_max": ev_max,
-        "start_row": sr,
+        "extras": extras, "ev": ev, "nev": nev, "max_nev": max_nev,
+        "total": total, "ev_max": ev_max, "start_row": sr,
     }
 
 
 def device_walk_finalize_events(handle):
     """Block on an events-mode walk dispatch.  Returns either
-    ("events", events (B, ev_max//2) np.int32, *extras) or
+    ("events", flat np.uint16, nev (B,) np.uint16, *extras) or
     ("stream", packed (T16, B) np.int32, steps, *extras) -- the stream
-    form when the handle was a fallback or a lane overflowed ev_max.
-    One device_get per outcome; budget-exhaustion retries double t_max
-    and recompact, exactly like device_walk_finalize."""
+    form when the handle was a fallback or a lane overflowed ev_max /
+    the flat buffer.  One device_get per outcome; budget-exhaustion
+    retries double t_max and recompact, like device_walk_finalize."""
     if isinstance(handle, tuple):
         out = device_walk_finalize(handle)
         return ("stream", out[0], out[1], *out[2:])
     walk, t_max, ev_max = handle["walk"], handle["t_max"], handle["ev_max"]
     packed, t = handle["packed"], handle["t"]
-    ev, max_nev = handle["ev"], handle["max_nev"]
+    ev, nev = handle["ev"], handle["nev"]
+    max_nev, total = handle["max_nev"], handle["total"]
     extras = tuple(handle["extras"])
     sr = handle["start_row"]
     for _ in range(32):
-        got = jax.device_get((ev, t, max_nev) + extras)
-        ev_np, steps, mx = got[0], int(got[1]), int(got[2])
+        got = jax.device_get((ev, nev, t, max_nev, total) + extras)
+        ev_np, nev_np = got[0], got[1]
+        steps, mx, tot = int(got[2]), int(got[3]), int(got[4])
         if steps >= t_max - 1:  # phase budget exhausted: rewalk doubled
             t_max *= 2
             if t_max * 16 >= 1 << 16:  # payload bits exhausted too
@@ -492,12 +507,13 @@ def device_walk_finalize_events(handle):
                     (walk, packed, t, t_max, extras))
                 return ("stream", out[0], out[1], *out[2:])
             packed, t = walk(t_max)
-            ev, max_nev = _compact_events(packed, sr, ev_max=ev_max)
+            ev, nev, max_nev, total = _compact_events(packed, sr,
+                                                      ev_max=ev_max)
             continue
-        if mx > ev_max:  # rare: a lane has more indels than ev_max slots
+        if mx > ev_max or tot > ev_np.size:  # event overflow: full stream
             packed_np = jax.device_get(packed)
-            return ("stream", packed_np, steps, *got[3:])
-        return ("events", ev_np, *got[3:])
+            return ("stream", packed_np, steps, *got[5:])
+        return ("events", ev_np, nev_np, *got[5:])
     raise RuntimeError("device walk failed to converge")  # pragma: no cover
 
 
@@ -626,26 +642,34 @@ def device_traceback_bucket_arrays(
 
 def finalize_any(handle, scores=None, srow=None, scol=None):
     """Finalize either handle kind into a normalized tuple:
-    ("events", ev (B, ev_max//2) np.int32, sc, sr, sj) or
+    ("events", flat np.uint16, nev np.uint16, sc, sr, sj) or
     ("stream", packed (T16, B) np.int32, steps, sc, sr, sj).
-    scores/srow/scol are only fetched from the device when they did not
-    ride the handle's readback as extras."""
+
+    scores/srow/scol fill in whatever did not ride the handle's readback
+    as extras; numpy arrays pass through as-is (global walks: the engine
+    passes the bucket's host-side qry_len/ref_len -- the global start
+    coordinates -- so only the scores cross the tunnel)."""
     if isinstance(handle, dict):
         out = device_walk_finalize_events(handle)
-        kind, payload, rest = out[0], out[1], out[2:]
-        steps = None
-        if kind == "stream":
-            steps, rest = int(rest[0]), rest[1:]
+        kind = out[0]
+        if kind == "events":
+            payload, steps, rest = (out[1], out[2]), None, out[3:]
+        else:
+            payload, steps, rest = out[1], int(out[2]), out[3:]
     else:
         out = device_walk_finalize(handle)
         kind, payload, steps, rest = "stream", out[0], out[1], out[2:]
     if len(rest) == 3:
         sc, sr, sj = (np.asarray(a) for a in rest)
+    elif len(rest) == 1 and srow is not None and scol is not None:
+        sc = np.asarray(rest[0])
+        sr, sj = np.asarray(srow), np.asarray(scol)
     else:
         sc, sr, sj = (np.asarray(a)
                       for a in jax.device_get((scores, srow, scol)))
     if kind == "events":
-        return ("events", payload, sc, sr, sj)
+        flat, nev = payload
+        return ("events", flat, nev, sc, sr, sj)
     return ("stream", payload, steps, sc, sr, sj)
 
 
@@ -661,24 +685,28 @@ def bucket_blocks_from_finalized(algorithm, bucket, params, fin):
     from tpu_align.native import (native_events_block_lens,
                                   native_replay_events_blocks)
 
-    _, payload, sc, sr, sj = fin
+    _, flat, nev, sc, sr, sj = fin
     nb = bucket.num_real
     ids = bucket.pair_ids[:nb]
     p = params
+    ev_off = np.zeros(nev.shape[0] + 1, np.int64)
+    np.cumsum(nev, out=ev_off[1:])
     dst_off = total = None
     if not algorithm.is_local:
         # Global walks: block lengths derive from the events alone, so the
         # chunk is written DENSE at exact final offsets (no stride holes,
         # no scratch copy) and the collector's final gather coalesces the
         # whole chunk into one memcpy.
-        lens = native_events_block_lens(payload[:nb], sr[:nb], ids, sc[:nb])
+        lens = native_events_block_lens(flat, ev_off[:nb + 1], sr[:nb],
+                                        ids, sc[:nb])
         if lens is not None:
             dst_off = np.zeros(nb, np.int64)
             np.cumsum(lens[:-1], out=dst_off[1:])
             total = int(dst_off[-1] + lens[-1]) if nb else 0
     nat = native_replay_events_blocks(
-        payload, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
-        sr[:nb], sj[:nb], sc[:nb], ids, local=algorithm.is_local,
+        flat, ev_off[:nb + 1], bucket.ref_tokens[:nb],
+        bucket.qry_tokens[:nb], sr[:nb], sj[:nb], sc[:nb], ids,
+        local=algorithm.is_local,
         match=p.match, mismatch=p.mismatch, gap=p.gap,
         dst_off=dst_off, total=total,
     )
@@ -693,19 +721,22 @@ def bucket_arrays_from_finalized(algorithm, bucket, params, fin):
     or a list[AlignmentResult] when the native replayers are absent."""
     nb = bucket.num_real
     if fin[0] == "events":
-        _, payload, sc, sr, sj = fin
+        _, flat, nev, sc, sr, sj = fin
         from tpu_align.native import native_replay_events
 
+        ev_off = np.zeros(nev.shape[0] + 1, np.int64)
+        np.cumsum(nev, out=ev_off[1:])
         p = params
         nat = native_replay_events(
-            payload, bucket.ref_tokens[:nb], bucket.qry_tokens[:nb],
-            sr[:nb], sj[:nb], sc[:nb], local=algorithm.is_local,
+            flat, ev_off[:nb + 1], bucket.ref_tokens[:nb],
+            bucket.qry_tokens[:nb], sr[:nb], sj[:nb], sc[:nb],
+            local=algorithm.is_local,
             match=p.match, mismatch=p.mismatch, gap=p.gap,
         )
         if nat is not None:
             out_buf, out_lens = nat
             return sc[:nb], out_buf, out_lens
-        codes = _events_to_codes(payload, sr, sj, sc, bucket,
+        codes = _events_to_codes(flat, ev_off, sr, sj, sc, bucket,
                                  algorithm, params)
         packed, steps = None, codes.shape[0]
     else:
@@ -772,12 +803,12 @@ def device_traceback_bucket(
     ]
 
 
-def _events_to_codes(payload, sr, sj, sc, bucket, algorithm, params):
-    """Pure-Python fallback for native_replay_events: expand per-lane
-    event payloads (two 15-bit (row << 1 | is_ins) per int32, 0-ends)
-    into dense (T, nb) move codes equivalent to the device stream --
-    diagonals between events, local re-scoring stop (mirrors
-    native/tpualign.cpp replay_events_range)."""
+def _events_to_codes(flat, ev_off, sr, sj, sc, bucket, algorithm, params):
+    """Pure-Python fallback for native_replay_events: expand flat per-lane
+    event payloads ((row << 1 | is_ins) uint16, lane b's events at
+    flat[ev_off[b]:ev_off[b + 1]]) into dense (T, nb) move codes
+    equivalent to the device stream -- diagonals between events, local
+    re-scoring stop (mirrors native/tpualign.cpp replay_events_range)."""
     nb = bucket.num_real
     local = algorithm.is_local
     t_cap = bucket.qry_tokens.shape[1] + bucket.ref_tokens.shape[1] + 1
@@ -804,11 +835,10 @@ def _events_to_codes(payload, sr, sj, sc, bucket, algorithm, params):
             r -= 1
             c -= 1
 
-        for w in range(2 * payload.shape[1]):
+        for k in range(int(ev_off[b]), int(ev_off[b + 1])):
             if done:
                 break
-            word = int(payload[b, w // 2]) & 0xFFFFFFFF
-            p = (word >> 15) & 0x7FFF if w % 2 == 0 else word & 0x7FFF
+            p = int(flat[k])
             if p == 0:
                 break
             i_e = p >> 1
