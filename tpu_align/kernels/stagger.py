@@ -714,16 +714,24 @@ def fill_stagger_bucket_async(
     with_traceback: bool = True,
     interpret: bool | None = None,
     stripe_s: int = STRIPE_S,
+    prestaged=None,
 ):
     """Dispatch one bucket's stagger fill; returns async JAX arrays
-    (scores, srow, scol, dirs-(stripes, W, S, B)-or-None)."""
+    (scores, srow, scol, dirs-(stripes, W, S, B)-or-None).
+
+    prestaged: optional (ref_packed, ref_lut, qry_packed, qry_lut)
+    already device_put by the caller -- the engine uploads buckets from a
+    worker pool so several H2D streams run concurrently on tunneled
+    backends (engine._upload)."""
     if algorithm.is_banded:
         raise ValueError("BSW uses the skewed banded kernel")
     if algorithm.is_affine and params.gap_open > 0:
         raise ValueError("ANW kernel requires gap_open <= 0")
     if interpret is None:
         interpret = _default_interpret()
-    packed = host_pack_tokens(ref_tokens, qry_tokens, ref_len, qry_len)
+    packed = prestaged
+    if packed is None:
+        packed = host_pack_tokens(ref_tokens, qry_tokens, ref_len, qry_len)
     if packed is not None:  # 2-bit packed upload (io/packing)
         return _fill_stagger_packed_jit(
             algorithm, params, *(jnp.asarray(p) for p in packed),

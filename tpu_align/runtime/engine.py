@@ -323,7 +323,24 @@ class AlignmentEngine:
             local_mode=self.local_mode,
         )
 
-    def _dispatch(self, b: Bucket):
+    def _upload(self, b: Bucket):
+        """Stage one bucket's packed token upload from a worker thread
+        (blocking until the H2D completes): several upload workers run
+        concurrent tunnel streams, which move ~1.5x the aggregate
+        bytes/sec of one stream (scripts/probe_tunnel.py).  Returns the
+        prestaged tuple for fill_stagger_bucket_async, or None when the
+        packed path does not apply (raw tokens upload at dispatch)."""
+        from tpu_align.kernels.fill import host_pack_tokens
+
+        packed = host_pack_tokens(b.ref_tokens, b.qry_tokens,
+                                  b.ref_len, b.qry_len)
+        if packed is None:
+            return None
+        staged = tuple(jax.device_put(np.asarray(p)) for p in packed)
+        jax.block_until_ready(staged)
+        return staged
+
+    def _dispatch(self, b: Bucket, prestaged=None):
         """Dispatch one bucket's fill.  BSW takes the skewed banded
         fast-path kernel (O(M*2band) work instead of O(M*N)); the other
         aligners take the stagger wavefront kernel unless kernel="rowscan"
@@ -347,6 +364,7 @@ class AlignmentEngine:
                 self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
                 b.ref_len, b.qry_len, stripe_s=self.stripe_s,
                 with_traceback=self.with_traceback, interpret=self.interpret,
+                prestaged=prestaged,
             )
         return fill_bucket_async(
             self.algorithm, self.params, b.ref_tokens, b.qry_tokens,
@@ -562,19 +580,39 @@ class AlignmentEngine:
         # tunnel moves ~2x more aggregate bytes/sec with two streams
         # (scripts/probe_tunnel.py) and transfers overlap host replay.
         pool = None
+        upool = None
+        staged: dict[int, object] = {}
         if device_tb and self.mesh is None:
             from concurrent.futures import ThreadPoolExecutor
 
             workers = int(os.environ.get("TPU_ALIGN_PREFETCH", "2"))
             pool = ThreadPoolExecutor(max_workers=max(workers, 1))
+            if self.kernel == "stagger":
+                # upload stager: bucket token H2D runs on worker streams
+                # ahead of dispatch (concurrent tunnel streams move ~1.5x
+                # one stream's bytes/sec) and overlaps everything else
+                uworkers = int(os.environ.get("TPU_ALIGN_UPLOAD", "2"))
+                upool = ThreadPoolExecutor(max_workers=max(uworkers, 1))
+
+        def _stage_ahead():
+            if upool is None:
+                return
+            limit = self.max_inflight or len(pending)
+            for k in range(next_up, min(next_up + limit, len(pending))):
+                if k not in staged:
+                    staged[k] = upool.submit(self._upload, pending[k])
 
         def _top_up():
             nonlocal next_up
             limit = self.max_inflight or len(pending)
+            _stage_ahead()
             while next_up < len(pending) and len(launches) < limit:
                 b = pending[next_up]
                 with timer.phase("dispatch"):
-                    outs = self._dispatch(b)
+                    sf = staged.pop(next_up, None)
+                    outs = self._dispatch(
+                        b, prestaged=(sf.result() if sf is not None
+                                      else None))
                     handle = fut = None
                     if device_tb and outs[3] is not None:
                         handle = self._walk_dispatch(outs)
@@ -729,6 +767,8 @@ class AlignmentEngine:
             _top_up()  # refill the dispatch window
         if pool is not None:
             pool.shutdown(wait=False)
+        if upool is not None:
+            upool.shutdown(wait=False)
         with timer.phase("backtrack"):
             for i in empty_idx:
                 results.append(self._oracle_fallback(ds, int(i)))

@@ -337,7 +337,9 @@ def _compact_events(packed, start_row, ev_max=EV_MAX, cap_per_lane=None):
     (device_walk_dispatch falls back to streams otherwise)."""
     t16, b = packed.shape
     t_total = t16 * 16
-    cap = b * (cap_per_lane or EV_CAP_PER_LANE)
+    # flat capacity <= b * ev_max so the sort-based flatten below always
+    # has enough source slots
+    cap = b * min(cap_per_lane or EV_CAP_PER_LANE, ev_max)
     shifts = (2 * jnp.arange(16, dtype=jnp.int32)).reshape(1, 16, 1)
     codes = ((packed[:, None, :] >> shifts) & 3).reshape(t_total, b)
     dec_r = jnp.logical_or(codes == 1, codes == 2).astype(jnp.int32)
@@ -353,11 +355,17 @@ def _compact_events(packed, start_row, ev_max=EV_MAX, cap_per_lane=None):
     nev = jnp.sum(is_ev, axis=0, dtype=jnp.int32)  # (B,)
     offs = jnp.cumsum(nev) - nev                   # exclusive prefix
     total = offs[-1] + nev[-1]
+    # Flatten by SORT, not scatter (TPU scatters serialize): each valid
+    # slot's flat position is exactly offs[lane] + slot, an enumeration of
+    # 0..total-1 -- so sorting (position, payload) by position lands every
+    # payload at its flat index and invalid slots (key cap + slot-id,
+    # still unique) sink past `total`.
     slot = jnp.arange(ev_max, dtype=jnp.int32)[None, :]
-    idx = offs[:, None] + slot
-    idx = jnp.where(slot < nev[:, None], idx, cap)  # invalid slots drop
-    flat = jnp.zeros(cap, jnp.uint16).at[idx.reshape(-1)].set(
-        p.reshape(-1), mode="drop")
+    g = jnp.where(slot < nev[:, None], offs[:, None] + slot,
+                  cap + jnp.arange(p.size, dtype=jnp.int32).reshape(p.shape))
+    _, flat_vals = jax.lax.sort((g.reshape(-1), p.reshape(-1).astype(
+        jnp.int32)), num_keys=1)
+    flat = flat_vals[:cap].astype(jnp.uint16)
     max_nev = jnp.max(nev)
     return flat, nev.astype(jnp.uint16), max_nev, total
 
