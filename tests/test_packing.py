@@ -48,6 +48,45 @@ def test_pack_narrow_and_empty_alphabets():
     assert (back == PAD_REF).all()
 
 
+def test_fused_blob_roundtrip():
+    """fuse_bucket_blob -> defuse_bucket_blob must reproduce all six
+    arrays exactly (single-transfer bucket upload, engine._upload)."""
+    from tpu_align.io.packing import defuse_bucket_blob, fuse_bucket_blob
+
+    rng = np.random.default_rng(11)
+    b, n, m = 13, 64, 32
+    bases = np.frombuffer(b"ATCG", np.uint8)
+    rlen = rng.integers(1, n + 1, b).astype(np.int32)
+    qlen = rng.integers(0, m + 1, b).astype(np.int32)
+    rt = np.full((b, n), PAD_REF, np.uint8)
+    qt = np.full((b, m), PAD_QRY, np.uint8)
+    for i in range(b):
+        rt[i, : rlen[i]] = bases[rng.integers(0, 4, rlen[i])]
+        qt[i, : qlen[i]] = bases[rng.integers(0, 4, qlen[i])]
+    rp = maybe_pack_tokens(rt, rlen)
+    qp = maybe_pack_tokens(qt, qlen)
+    fb = fuse_bucket_blob((rp[0], rp[1], qp[0], qp[1]), rlen, qlen)
+    assert fb.blob.dtype == np.uint8 and fb.blob.ndim == 1
+    assert fb.blob.size == b * (fb.n4 + fb.m4 + 8) + 8
+    import jax.numpy as jnp
+
+    out = defuse_bucket_blob(jnp.asarray(fb.blob), fb.b, fb.n4, fb.m4)
+    rp2, rlut2, qp2, qlut2, rl2, ql2 = (np.asarray(x) for x in out)
+    np.testing.assert_array_equal(rp2, rp[0])
+    np.testing.assert_array_equal(rlut2, rp[1])
+    np.testing.assert_array_equal(qp2, qp[0])
+    np.testing.assert_array_equal(qlut2, qp[1])
+    np.testing.assert_array_equal(rl2, rlen)
+    np.testing.assert_array_equal(ql2, qlen)
+    # large lengths exercise all four little-endian bytes
+    big = np.array([0x01020304, 0x7fffffff], np.int32)
+    fb2 = fuse_bucket_blob(
+        (rp[0][:2], rp[1], qp[0][:2], qp[1]), big, big[::-1].copy())
+    out2 = defuse_bucket_blob(jnp.asarray(fb2.blob), 2, fb2.n4, fb2.m4)
+    np.testing.assert_array_equal(np.asarray(out2[4]), big)
+    np.testing.assert_array_equal(np.asarray(out2[5]), big[::-1])
+
+
 def test_pack_rejects_wide_alphabet():
     toks = np.frombuffer(b"ABCDEFGH", np.uint8).reshape(1, 8).copy()
     assert maybe_pack_tokens(toks, np.array([8], np.int32)) is None

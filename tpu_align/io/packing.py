@@ -19,7 +19,66 @@ the raw byte upload (maybe_pack_tokens returns None).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedBlob:
+    """One bucket's entire upload as a single flat uint8 device array.
+
+    The tunnel charges ~24 ms of dispatch overhead PER TRANSFER on top of
+    bandwidth (scripts/probe_tunnel.py), so the six per-bucket arrays
+    (ref/qry packed tokens, two 4-byte LUTs, two int32 length vectors)
+    are concatenated host-side and `device_put` once; the fill jit slices
+    them back apart on device (defuse_bucket_blob -- pure relayout, XLA
+    fuses it into the kernel's input prologue)."""
+
+    blob: object  # device or numpy uint8 (total,)
+    b: int        # bucket batch size
+    n4: int       # packed ref bytes per pair (ref_n // 4)
+    m4: int       # packed qry bytes per pair (qry_n // 4)
+
+
+def fuse_bucket_blob(packed, ref_len, qry_len) -> FusedBlob:
+    """Flatten (ref_packed, ref_lut, qry_packed, qry_lut) + both length
+    vectors into one uint8 buffer.  Lengths are serialized explicitly
+    little-endian so the device-side reconstruction (shift/or in
+    defuse_bucket_blob) is host-endianness-independent."""
+    rp, rlut, qp, qlut = packed
+    b, n4 = rp.shape
+    m4 = qp.shape[1]
+    rl = np.ascontiguousarray(ref_len, dtype="<i4").view(np.uint8)
+    ql = np.ascontiguousarray(qry_len, dtype="<i4").view(np.uint8)
+    blob = np.concatenate([
+        rp.reshape(-1), qp.reshape(-1),
+        np.ascontiguousarray(rlut, np.uint8),
+        np.ascontiguousarray(qlut, np.uint8),
+        rl.reshape(-1), ql.reshape(-1),
+    ])
+    return FusedBlob(blob, b, n4, m4)
+
+
+def defuse_bucket_blob(fb_blob, b: int, n4: int, m4: int):
+    """jnp inverse of fuse_bucket_blob (inside jit): returns
+    (ref_packed, ref_lut, qry_packed, qry_lut, ref_len, qry_len)."""
+    import jax.numpy as jnp
+
+    o = 0
+    rp = fb_blob[o:o + b * n4].reshape(b, n4); o += b * n4
+    qp = fb_blob[o:o + b * m4].reshape(b, m4); o += b * m4
+    rlut = fb_blob[o:o + 4]; o += 4
+    qlut = fb_blob[o:o + 4]; o += 4
+
+    def _i32(raw):  # (B*4,) LE bytes -> (B,) int32
+        u = raw.reshape(b, 4).astype(jnp.uint32)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16) | (u[:, 3] << 24)
+        return v.astype(jnp.int32)
+
+    rl = _i32(fb_blob[o:o + 4 * b]); o += 4 * b
+    ql = _i32(fb_blob[o:o + 4 * b])
+    return rp, rlut, qp, qlut, rl, ql
 
 
 def maybe_pack_tokens(tokens: np.ndarray, lens: np.ndarray):

@@ -707,6 +707,25 @@ def _fill_stagger_packed_jit(algorithm, params, ref_packed, ref_lut,
                              interpret=interpret, stripe_s=stripe_s)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "algorithm", "params", "b", "n4", "m4", "with_traceback", "interpret",
+    "stripe_s"))
+def _fill_stagger_fused_jit(algorithm, params, blob, b, n4, m4,
+                            with_traceback=True, interpret=False,
+                            stripe_s=STRIPE_S):
+    """Fill from a single fused upload buffer (io/packing.FusedBlob):
+    the whole bucket crosses the tunnel in ONE transfer; slicing the six
+    arrays back out is device-side relayout XLA folds into the kernel's
+    input prologue."""
+    from tpu_align.io.packing import defuse_bucket_blob
+
+    rp, rlut, qp, qlut, rl, ql = defuse_bucket_blob(blob, b, n4, m4)
+    rt, qt = unpack_both(rp, rlut, qp, qlut, rl, ql)
+    return _fill_stagger_jit(algorithm, params, rt, qt, rl, ql,
+                             with_traceback=with_traceback,
+                             interpret=interpret, stripe_s=stripe_s)
+
+
 def fill_stagger_bucket_async(
     algorithm: Algorithm,
     params: AlignmentParams,
@@ -729,10 +748,23 @@ def fill_stagger_bucket_async(
         raise ValueError("ANW kernel requires gap_open <= 0")
     if interpret is None:
         interpret = _default_interpret()
+    from tpu_align.io.packing import FusedBlob, fuse_bucket_blob
+
     packed = prestaged
     if packed is None:
         packed = host_pack_tokens(ref_tokens, qry_tokens, ref_len, qry_len)
-    if packed is not None:  # 2-bit packed upload (io/packing)
+        if packed is not None:
+            # no prestaged upload: fuse host-side so dispatch still costs
+            # ONE H2D transfer instead of six (io/packing.FusedBlob)
+            packed = fuse_bucket_blob(packed, ref_len, qry_len)
+    if isinstance(packed, FusedBlob):
+        return _fill_stagger_fused_jit(
+            algorithm, params, jnp.asarray(packed.blob),
+            packed.b, packed.n4, packed.m4,
+            with_traceback=with_traceback, interpret=interpret,
+            stripe_s=stripe_s,
+        )
+    if packed is not None:  # legacy prestaged 4-tuple (already on device)
         return _fill_stagger_packed_jit(
             algorithm, params, *(jnp.asarray(p) for p in packed),
             jnp.asarray(ref_len), jnp.asarray(qry_len),

@@ -327,18 +327,25 @@ class AlignmentEngine:
         """Stage one bucket's packed token upload from a worker thread
         (blocking until the H2D completes): several upload workers run
         concurrent tunnel streams, which move ~1.5x the aggregate
-        bytes/sec of one stream (scripts/probe_tunnel.py).  Returns the
-        prestaged tuple for fill_stagger_bucket_async, or None when the
-        packed path does not apply (raw tokens upload at dispatch)."""
+        bytes/sec of one stream (scripts/probe_tunnel.py).  The whole
+        bucket -- tokens, LUTs, AND length vectors -- is fused into one
+        flat buffer so each bucket costs ONE transfer's ~24 ms dispatch
+        overhead instead of six (io/packing.FusedBlob).  Returns the
+        prestaged FusedBlob for fill_stagger_bucket_async, or None when
+        the packed path does not apply (raw tokens upload at dispatch)."""
+        import dataclasses
+
+        from tpu_align.io.packing import fuse_bucket_blob
         from tpu_align.kernels.fill import host_pack_tokens
 
         packed = host_pack_tokens(b.ref_tokens, b.qry_tokens,
                                   b.ref_len, b.qry_len)
         if packed is None:
             return None
-        staged = tuple(jax.device_put(np.asarray(p)) for p in packed)
+        fb = fuse_bucket_blob(packed, b.ref_len, b.qry_len)
+        staged = jax.device_put(fb.blob)
         jax.block_until_ready(staged)
-        return staged
+        return dataclasses.replace(fb, blob=staged)
 
     def _dispatch(self, b: Bucket, prestaged=None):
         """Dispatch one bucket's fill.  BSW takes the skewed banded

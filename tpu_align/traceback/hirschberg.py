@@ -41,6 +41,10 @@ distinct kernel shapes stay O(log^2) per pair, not O(levels x subs).
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpu_align.core.params import Algorithm, AlignmentParams
@@ -107,6 +111,56 @@ def _batch_problems(probs):
     return refs, qrys, rlen, qlen
 
 
+@functools.partial(jax.jit, static_argnames=("affine",))
+def _split_reduce_jit(hlast, flast, fhb, bhb, nn, go, affine=False):
+    """Device-side Hirschberg split combine: the per-level D2H shrinks
+    from the full (N, 2K) last-row matrix (MBs; minutes-scale over the
+    tunnel at scale) to 4 ints per subproblem.
+
+    For sub k with nn[k] real rows: F(i) = fhb[k] if i == 0 else
+    hlast[i-1, 2k]; B(j) symmetric from column 2k+1; tot[i] = F(i) +
+    B(nn-i).  Returns (argmax_h, max_h, argmax_f, max_f) with the same
+    first-max tie choice as np.argmax.  The affine variant also combines
+    the credited F rows (tot_f = Ff + Bf_rev - go, the bridged gap's
+    open counted once, Myers & Miller 1988)."""
+    n = hlast.shape[0]
+    neg = jnp.int32(-(2 ** 30))
+
+    def combine(last, border_f, border_b, extra=0):
+        f = jnp.concatenate([border_f[:, None], last[:, 0::2].T], axis=1)
+        bfull = jnp.concatenate([border_b[:, None], last[:, 1::2].T], axis=1)
+        j = nn[:, None] - jnp.arange(n + 1, dtype=jnp.int32)[None, :]
+        b = jnp.take_along_axis(bfull, jnp.clip(j, 0, n), axis=1)
+        tot = jnp.where(j >= 0, f + b + extra, neg)
+        return (jnp.argmax(tot, axis=1).astype(jnp.int32),
+                jnp.max(tot, axis=1))
+
+    jh, mh = combine(hlast, fhb, bhb)
+    if not affine:
+        return jh, mh, jh, mh
+    jf, mf = combine(flast, fhb, bhb, extra=-go[:, None])
+    return jh, mh, jf, mf
+
+
+def _split_reduce(hlast, flast, fhb, bhb, nn, go=None):
+    """Pad per-sub vectors to the kernel batch and run the device
+    combine; returns numpy (argmax_h, max_h, argmax_f, max_f) sliced to
+    the real sub count (ONE tiny D2H per level)."""
+    kk = hlast.shape[1] // 2
+    k = len(nn)
+
+    def pad(v, dtype=np.int32):
+        out = np.zeros(kk, dtype)
+        out[:k] = v
+        return out
+
+    affine = flast is not None
+    outs = _split_reduce_jit(
+        hlast, flast if affine else hlast, pad(fhb), pad(bhb), pad(nn),
+        pad(go if go is not None else np.zeros(k)), affine=affine)
+    return tuple(np.asarray(o)[:k] for o in outs)
+
+
 def _split_level(params, subs, interpret):
     """Split every open subproblem at its query midrow.
 
@@ -128,16 +182,16 @@ def _split_level(params, subs, interpret):
     _, hlast, _ = fill_last_rows_async(
         Algorithm.LNW, params, refs, qrys, rlen, qlen, interpret=interpret,
     )
-    hlast = np.asarray(hlast).astype(np.int64)  # one D2H per level
     g = params.gap
-    splits = []
-    for k, (ref_t, qry_t, (qi, qj, ri, rj)) in enumerate(subs):
-        nn = rj - ri
-        mid = mids[k]
-        # column 0 border is analytic: H[qlen][0] = qlen * gap
-        fh = np.concatenate(([(mid - qi) * g], hlast[:nn, 2 * k]))
-        bh = np.concatenate(([(qj - mid) * g], hlast[:nn, 2 * k + 1]))
-        splits.append(ri + int(np.argmax(fh + bh[::-1])))
+    # column 0 border is analytic: H[qlen][0] = qlen * gap
+    fhb = np.array([(mids[k] - s[2][0]) * g for k, s in enumerate(subs)],
+                   np.int32)
+    bhb = np.array([(s[2][1] - mids[k]) * g for k, s in enumerate(subs)],
+                   np.int32)
+    nn = np.array([s[2][3] - s[2][2] for s in subs], np.int32)
+    # the split argmax runs ON DEVICE; only one int per sub transfers
+    jh, _, _, _ = _split_reduce(hlast, None, fhb, bhb, nn)
+    splits = [subs[k][2][2] + int(jh[k]) for k in range(len(subs))]
     return mids, splits
 
 
@@ -294,23 +348,22 @@ def _affine_split_level(params, subs, interpret):
         Algorithm.ANW, params, refs, qrys, rlen, qlen, interpret=interpret,
         open_top=open_top,
     )
-    hlast = np.asarray(hlast).astype(np.int64)
-    flast = np.asarray(flast).astype(np.int64)
+    # border column j = 0 is one vertical gap from the corner: it IS
+    # the F state there and opens at the boundary credit; tot_f counts
+    # the bridged gap's open once (-go in the device combine).  The
+    # argmax/max reduction runs ON DEVICE -- 4 ints per sub transfer.
+    fhb = np.array([s[2][4] + ((s[2][0] + s[2][1]) // 2 - s[2][0]) * ge
+                    for s in subs], np.int32)
+    bhb = np.array([s[2][5] + (s[2][1] - (s[2][0] + s[2][1]) // 2) * ge
+                    for s in subs], np.int32)
+    nns = np.array([s[2][3] - s[2][2] for s in subs], np.int32)
+    jhs, mhs, jfs, mfs = _split_reduce(
+        hlast, flast, fhb, bhb, nns, go=np.full(len(subs), go, np.int32))
     pieces = []
     for k, (ref_t, qry_t, (qi, qj, ri, rj, tb, te)) in enumerate(subs):
-        nn = rj - ri
         mid = (qi + qj) // 2
-        mtop, mbot = mid - qi, qj - mid  # both >= 1 for an open sub
-        # border column j = 0 is one vertical gap from the corner: it IS
-        # the F state there and opens at the boundary credit
-        fh = np.concatenate(([tb + mtop * ge], hlast[:nn, 2 * k]))
-        ff = np.concatenate(([tb + mtop * ge], flast[:nn, 2 * k]))
-        bh = np.concatenate(([te + mbot * ge], hlast[:nn, 2 * k + 1]))
-        bf = np.concatenate(([te + mbot * ge], flast[:nn, 2 * k + 1]))
-        tot_h = fh + bh[::-1]
-        tot_f = ff + bf[::-1] - go  # the bridged gap's open counted once
-        if tot_f.max() > tot_h.max():
-            js = ri + int(np.argmax(tot_f))
+        if mfs[k] > mhs[k]:
+            js = ri + int(jfs[k])
             bridge = (GAP * 2, "  ",
                       qry_t[mid - 1: mid + 1].tobytes().decode("ascii"))
             pieces.append([
@@ -319,7 +372,7 @@ def _affine_split_level(params, subs, interpret):
                 (mid + 1, qj, js, rj, 0, te),
             ])
         else:
-            js = ri + int(np.argmax(tot_h))
+            js = ri + int(jhs[k])
             pieces.append([
                 (qi, mid, ri, js, tb, go),
                 (mid, qj, js, rj, go, te),
