@@ -119,8 +119,6 @@ def test_walk_sharded_matches_single_device():
             bucket.ref_tokens, bucket.qry_tokens, bucket.ref_len,
             bucket.qry_len,
         )
-        packed, t = walk_sharded(mesh, Algorithm.LSW, params, dirs,
-                                 srow, scol, scores, STRIPE_S)
         px, tx = device_traceback_moves(
             Algorithm.LSW, params, np.asarray(dirs), np.asarray(srow),
             np.asarray(scol), np.asarray(scores), STRIPE_S, walker="xla")
@@ -130,7 +128,11 @@ def test_walk_sharded_matches_single_device():
             return [tuple(c for c in codes[:, b] if c)
                     for b in range(codes.shape[1])]
 
-        assert seqs(packed, t) == seqs(px, tx)
+        for walker in ("xla", "pallas"):
+            packed, t = walk_sharded(mesh, Algorithm.LSW, params, dirs,
+                                     srow, scol, scores, STRIPE_S,
+                                     walker=walker)
+            assert seqs(packed, t) == seqs(px, tx), walker
 
 
 def test_merge_streams_without_loading_files(tmp_path):

@@ -128,6 +128,38 @@ def test_banded_device_walk_matches_oracle(rng):
             assert dev[i].block() == want.block(), i
 
 
+def test_pallas_banded_walker_matches_xla(rng, monkeypatch):
+    """BSW over the skewed banded layout: the Pallas walker's per-lane
+    move sequences equal the XLA banded walker's, and bucket replay is
+    byte-identical to the scalar oracle (multiple lane groups)."""
+    from tpu_align.kernels.banded import fill_banded_bucket_async
+
+    algo = Algorithm.BSW
+    params = AlignmentParams(match=3, mismatch=-1, gap=-2, band=4)
+    pairs = [(random_dna(rng, 1, 90, alphabet="AT"),
+              random_dna(rng, 1, 90, alphabet="AT")) for _ in range(15)]
+    pairs.append(("TTTT", "AAAA"))  # score 0: never-started lane
+    ds = PairDataset.from_pairs(pairs)
+    for b in bucketize(ds, BucketSpec(batch_pairs=16, query_multiple=96)):
+        scores, srow, scol, dirs = fill_banded_bucket_async(
+            params, b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len)
+        import tpu_align.traceback.walk_kernel as wk
+        monkeypatch.setattr(wk, "_group_lanes",
+                            lambda b: 8 if b % 8 == 0 else b)
+        px, tx = device_traceback_moves(algo, params, dirs, srow, scol,
+                                        scores, 0, walker="xla")
+        pp, tp = device_traceback_moves(algo, params, dirs, srow, scol,
+                                        scores, 0, walker="pallas")
+        assert _lane_seqs(px, tx) == _lane_seqs(pp, tp)
+        dev = {r.pair_num: r for r in device_traceback_bucket(
+            algo, b, scores, srow, scol, dirs, params, 0,
+            walker="pallas")}
+        for i in sorted(dev):
+            want = align_pair(algo, params, *pairs[i], pair_num=i,
+                              engine="scalar")
+            assert dev[i].block() == want.block(), i
+
+
 def test_pallas_t_max_cap_falls_back_to_xla(monkeypatch):
     """When a budget retry would exceed the Pallas walker's VMEM scratch
     cap, the dispatcher degrades to the XLA walker instead of failing at

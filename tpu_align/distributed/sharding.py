@@ -142,6 +142,7 @@ def walk_sharded_dispatch(
     dirs, start_row, start_col, scores,
     stripe_s: int,
     extras: tuple = (),
+    walker: str = "xla",
 ):
     """Device traceback walk, data-parallel over the `pairs` axis: each
     chip walks its own shard of the stagger direction words (the walk is
@@ -165,19 +166,46 @@ def walk_sharded_dispatch(
         _walk_phase_budget,
     )
 
+    n_sh = mesh.devices.size
     if algorithm.is_banded:
-        mw, _, k8 = dirs.shape
+        mw, b_glob, k8 = dirs.shape
         t_max = _walk_phase_budget(mw * 16, k8, 1)
         dirs_spec = P(None, PAIRS_AXIS, None)
-        local = lambda d, sr, sc, s, t: _device_walk_banded(  # noqa: E731
+        xla_local = lambda d, sr, sc, s, t: _device_walk_banded(  # noqa: E731
             params, d, sr, sc, s, t)
+        if walker == "pallas":
+            from tpu_align.traceback.walk_kernel import (
+                device_walk_pallas_banded,
+                pallas_banded_t_max_cap,
+            )
+
+            cap = pallas_banded_t_max_cap((mw, b_glob // n_sh, k8))
+            local = lambda d, sr, sc, s, t: (  # noqa: E731
+                device_walk_pallas_banded(params, d, sr, sc, s, t)
+                if t <= cap else xla_local(d, sr, sc, s, t))
+        else:
+            local = xla_local
     else:
-        stripes, W, _, _ = dirs.shape
+        stripes, W, S, b_glob = dirs.shape
         spw = 32 // bits_per_cell(algorithm)
         t_max = _walk_phase_budget(stripes * stripe_s, W, spw)
         dirs_spec = P(None, None, None, PAIRS_AXIS)
-        local = lambda d, sr, sc, s, t: _device_walk(  # noqa: E731
+        xla_local = lambda d, sr, sc, s, t: _device_walk(  # noqa: E731
             algorithm, params, d, sr, sc, s, stripe_s, t)
+        if walker == "pallas":
+            from tpu_align.traceback.walk_kernel import (
+                device_walk_pallas,
+                pallas_t_max_cap,
+            )
+
+            # VMEM cap on the SHARD-local batch (each chip walks B/n)
+            cap = pallas_t_max_cap((stripes, W, S, b_glob // n_sh))
+            local = lambda d, sr, sc, s, t: (  # noqa: E731
+                device_walk_pallas(algorithm, params, d, sr, sc, s,
+                                   stripe_s, t)
+                if t <= cap else xla_local(d, sr, sc, s, t))
+        else:
+            local = xla_local
 
     def _run(t_max):
         @functools.partial(
@@ -207,6 +235,7 @@ def walk_sharded(
     params: AlignmentParams,
     dirs, start_row, start_col, scores,
     stripe_s: int,
+    walker: str = "xla",
 ):
     """Blocking sharded device walk: dispatch + finalize (doubling the
     phase budget on exhaustion).  Returns (packed (T16, B) np, steps)."""
@@ -214,7 +243,7 @@ def walk_sharded(
 
     return device_walk_finalize(walk_sharded_dispatch(
         mesh, algorithm, params, dirs, start_row, start_col, scores,
-        stripe_s,
+        stripe_s, walker=walker,
     ))
 
 

@@ -18,6 +18,8 @@ import dataclasses
 import hashlib
 import json
 import os
+import sys
+import time
 
 import jax
 import numpy as np
@@ -261,7 +263,8 @@ class AlignmentEngine:
         parallelism, collectives only in global_stats).  The bucket spec
         is adjusted so batches divide the mesh; output stays
         byte-identical to the single-device run.  Device traceback over a
-        mesh uses the XLA walker."""
+        mesh honours `walker` (each chip walks its own shard; the Pallas
+        walk kernel runs per-shard inside shard_map)."""
         self.algorithm = algorithm
         self.params = params or AlignmentParams()
         self.bucket_spec = bucket_spec or BucketSpec()
@@ -304,10 +307,6 @@ class AlignmentEngine:
         self.stripe_s = int(stripe_s) if stripe_s else STRIPE_S
         self.mesh = mesh
         if mesh is not None:
-            if traceback == "device" and walker != "xla":
-                raise ValueError(
-                    "mesh + traceback='device' uses the XLA walker (the "
-                    "Pallas walk kernel is not shard_map-wrapped)")
             if traceback == "hirschberg" or local_mode == "all":
                 raise ValueError(
                     "mesh covers the bucketed kernel path; hirschberg and "
@@ -338,13 +337,21 @@ class AlignmentEngine:
         from tpu_align.io.packing import fuse_bucket_blob
         from tpu_align.kernels.fill import host_pack_tokens
 
+        t0 = time.perf_counter()
         packed = host_pack_tokens(b.ref_tokens, b.qry_tokens,
                                   b.ref_len, b.qry_len)
         if packed is None:
             return None
         fb = fuse_bucket_blob(packed, b.ref_len, b.qry_len)
+        t1 = time.perf_counter()
         staged = jax.device_put(fb.blob)
         jax.block_until_ready(staged)
+        if os.environ.get("TPU_ALIGN_TRACE_UPLOAD"):
+            t2 = time.perf_counter()
+            print(f"[upload] {fb.blob.nbytes / 1e6:.2f} MB: "
+                  f"pack {t1 - t0:.3f}s put {t2 - t1:.3f}s "
+                  f"({fb.blob.nbytes / 1e6 / max(t2 - t1, 1e-9):.1f} MB/s)",
+                  file=sys.stderr, flush=True)
         return dataclasses.replace(fb, blob=staged)
 
     def _dispatch(self, b: Bucket, prestaged=None):
@@ -399,6 +406,7 @@ class AlignmentEngine:
             return walk_sharded_dispatch(
                 self.mesh, self.algorithm, self.params, outs[3], outs[1],
                 outs[2], outs[0], self.stripe_s, extras=extras,
+                walker=self.walker,
             )
         from tpu_align.traceback.device import device_walk_dispatch_events
 

@@ -411,7 +411,26 @@ def device_walk_dispatch(
     if algorithm.is_banded:
         mw, _, k8 = dirs.shape
         budget = _walk_phase_budget(mw * 16, k8, 1)
-        walk = functools.partial(_device_walk_banded, params, dirs, *args)
+        xla_banded = functools.partial(_device_walk_banded, params, dirs,
+                                       *args)
+        if walker == "pallas":
+            from tpu_align.traceback.walk_kernel import (
+                device_walk_pallas_banded,
+                pallas_banded_t_max_cap,
+            )
+
+            cap = pallas_banded_t_max_cap(dirs.shape)
+            pallas_banded = functools.partial(device_walk_pallas_banded,
+                                              params, dirs, *args)
+
+            def walk(t_budget):
+                # same VMEM-ceiling degradation as the stagger layouts:
+                # oversized doubling retries fall back to the XLA walker
+                if t_budget <= cap:
+                    return pallas_banded(t_budget)
+                return xla_banded(t_budget)
+        else:
+            walk = xla_banded
     elif walker == "pallas":
         from tpu_align.traceback.walk_kernel import (device_walk_pallas,
                                                      pallas_t_max_cap)

@@ -236,6 +236,164 @@ def _walk_pallas_jit(algorithm, params, dirs, start_row, start_col, scores,
     return packed, jnp.max(tout)
 
 
+def pallas_banded_t_max_cap(dirs_shape) -> int:
+    """pallas_t_max_cap analogue for the skewed banded layout (MW, B, K8):
+    above this budget the dispatcher degrades to the XLA walker instead
+    of failing a Mosaic scoped-VMEM compile on a doubling retry."""
+    _, B, K8 = dirs_shape
+    gt = _group_lanes(B)
+    vmem = 100 * 1024 * 1024
+    fixed = K8 * gt * 4 + 8 * gt * 4 + 64 * 1024
+    per_t = gt * 4 * (1 + 1 / 16)
+    cap = int((vmem * 0.9 - fixed) / per_t)
+    return max(16, (cap // 16) * 16)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "t_max", "interpret"))
+def _walk_pallas_banded_jit(params, dirs, start_row, start_col, scores,
+                            t_max, interpret=False):
+    """Row-phase walk over the skewed banded dirs (kernels/banded.py:
+    word (i-1)//16 of lane b holds slot k = j - i + band) as ONE Pallas
+    program: grid = (lane groups, MW words bottom-up), per-word while
+    loop, same `decide_step` as every other walk engine.  The only
+    banded-specific step is the slot select: the (K8, gt) word plane
+    reduces against the per-lane slot index in one masked sublane sum."""
+    from tpu_align.core.params import Algorithm
+
+    algorithm = Algorithm.BSW
+    band = params.band
+    MW, B, K8 = dirs.shape
+    gt = _group_lanes(B)
+    t16 = t_max // 16
+    assert t_max % 16 == 0
+
+    # lane-last relayout for the kernel (device-side transpose; XLA
+    # schedules it behind the fill, off the walk's critical path)
+    dirs_t = jnp.transpose(dirs, (0, 2, 1))  # (MW, K8, B)
+    srow = start_row.astype(jnp.int32).reshape(1, B)
+    scol = start_col.astype(jnp.int32).reshape(1, B)
+    sc = scores.astype(jnp.int32).reshape(1, B)
+
+    def kernel(dirs_ref, srow_ref, scol_ref, sc_ref, packed_ref, tout_ref,
+               emit_buf, i_s, j_s, rem_s, done_s, t_smem):
+        sg = pl.program_id(1)
+        num_words = pl.num_programs(1)
+        sidx = num_words - 1 - sg  # real word (walk goes bottom-up)
+        i0 = sidx * 16
+
+        @pl.when(sg == 0)
+        def _init():
+            i_s[:, :] = srow_ref[:, :]
+            j_s[:, :] = scol_ref[:, :]
+            rem_s[:, :] = sc_ref[:, :]
+            done_s[:, :] = (sc_ref[:, :] <= 0).astype(jnp.int32)
+            t_smem[0] = 0
+            emit_buf[:, :] = jnp.zeros((t_max, gt), jnp.int32)
+
+        plane = dirs_ref[0, :, :]  # (K8, gt): this word's band slots
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (K8, gt), 0)
+
+        def cond(state):
+            m, t = state[0], state[1]
+            return jnp.logical_and(m > i0, t < t_max - 1)
+
+        def body(state):
+            m, t, i, j, rem, done = state
+            slot = j - m + band  # per-lane band slot of cell (m, j)
+            word = jnp.sum(jnp.where(kiota == slot, plane, 0),
+                           axis=0, keepdims=True)
+            code = (word >> (2 * ((m - 1) % 16))) & 3
+            emit, i, j, rem, _, done = decide_step(
+                algorithm, params, code, m, i, j, rem,
+                jnp.zeros((), jnp.int32), done != 0)
+            emit_buf[pl.ds(t, 1), :] = emit
+            more = jnp.logical_and(i == m, ~done)
+            any_more = jnp.sum(more.astype(jnp.int32)) > 0
+            done32 = done.astype(jnp.int32)
+            live_top = jnp.max(jnp.where(done32 != 0, 0, i))
+            m = jnp.where(any_more, m, jnp.minimum(m - 1, live_top))
+            return (m, t + 1, i, j, rem, done32)
+
+        m0 = jnp.minimum(
+            jnp.int32(i0 + 16),
+            jnp.max(jnp.where(done_s[:, :] != 0, 0, i_s[:, :])),
+        )
+        state = (m0, t_smem[0], i_s[:, :], j_s[:, :], rem_s[:, :],
+                 done_s[:, :])
+        m, t, i, j, rem, done = jax.lax.while_loop(cond, body, state)
+        i_s[:, :] = i
+        j_s[:, :] = j
+        rem_s[:, :] = rem
+        done_s[:, :] = done
+        t_smem[0] = t
+
+        @pl.when(sg == num_words - 1)
+        def _finish():
+            t = t_smem[0]
+            tout_ref[:, :] = jnp.full((1, gt), 1, jnp.int32) * t
+            sh16 = 2 * jax.lax.broadcasted_iota(jnp.int32, (16, gt), 0)
+
+            def pack(w2, _):
+                slab = emit_buf[pl.ds(16 * w2, 16), :]
+                word = jnp.sum(slab << sh16, axis=0, keepdims=True)
+                packed_ref[pl.ds(w2, 1), :] = word
+                return 0
+
+            jax.lax.fori_loop(0, t16, pack, 0)
+
+    grid = (B // gt, MW)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, K8, gt), lambda g, s: (MW - 1 - s, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t16, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((t16, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gt), lambda g, s: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t_max, gt), jnp.int32),  # emitted codes by phase
+            pltpu.VMEM((1, gt), jnp.int32),      # i
+            pltpu.VMEM((1, gt), jnp.int32),      # j
+            pltpu.VMEM((1, gt), jnp.int32),      # rem (re-scoring stop)
+            pltpu.VMEM((1, gt), jnp.int32),      # done
+            pltpu.SMEM((1,), jnp.int32),         # shared phase counter
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(dirs_t, srow, scol, sc)
+    packed, tout = out
+    return packed, jnp.max(tout)
+
+
+def device_walk_pallas_banded(params, dirs, start_row, start_col, scores,
+                              t_max, interpret=None):
+    """Pallas banded walk; same contract as device._device_walk_banded."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _walk_pallas_banded_jit(
+        params, jnp.asarray(dirs), jnp.asarray(start_row),
+        jnp.asarray(start_col), jnp.asarray(scores), t_max,
+        interpret=interpret,
+    )
+
+
 def device_walk_pallas(algorithm, params, dirs, start_row, start_col,
                        scores, stripe_s, t_max, interpret=None):
     """Pallas row-phase walk; same contract as device._device_walk:
