@@ -89,6 +89,7 @@ def main() -> int:
         (Algorithm.ANW, "stagger", "device", "pallas", "blocks"),
         (Algorithm.BSW, "auto", "host", "xla", "blocks"),
         (Algorithm.BSW, "auto", "device", "xla", "blocks"),
+        (Algorithm.BSW, "auto", "device", "pallas", "blocks"),
         (Algorithm.LNW, "rowscan", "host", "xla", "blocks"),
     ]
     failures = 0

@@ -58,6 +58,7 @@ BSW keeps its own skewed-band kernel (kernels/banded.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                          has_open_top: bool = False):
     is_local = algo.is_local
     is_affine = algo.is_affine
+    # Measurement-only attribution knob (PERF.md, ANW dirs cost): pack the
+    # 2-bit main code but SKIP the E/F extend-bit ORs.  Output dirs are NOT
+    # walkable (affine traceback needs the extend bits); read at trace time,
+    # so only fresh processes (bench A/B runs) see a change.
+    ef_bits = os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") != "0"
     assert not (emit_last_row and is_local), "last-row mode is global-only"
     assert not (emit_last_row and with_traceback)
     assert not (has_open_top and not is_affine), "open_top is affine-only"
@@ -307,8 +313,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                                   _imm32(D.MAIN_DIAG_MISMATCH << sh))
                     d = jnp.where(take_del, _imm32(D.MAIN_QUERY_DELETION << sh), d)
                     d = jnp.where(take_ins, _imm32(D.MAIN_QUERY_INSERTION << sh), d)
-                    d = d | jnp.where(f_open_wins, 0, _imm32(D.BIT_F_EXTEND << sh))
-                    d = d | jnp.where(e_open_wins, 0, _imm32(D.BIT_E_EXTEND << sh))
+                    if ef_bits:
+                        d = d | jnp.where(f_open_wins, 0,
+                                          _imm32(D.BIT_F_EXTEND << sh))
+                        d = d | jnp.where(e_open_wins, 0,
+                                          _imm32(D.BIT_E_EXTEND << sh))
                     acc = acc | d
             else:
                 dele = up  # G-space: the +gap is the rank step
