@@ -38,10 +38,32 @@ import numpy as np
 
 BASELINE_GCUPS_H100 = 120.7  # implied: 6.25e9 cells / 51.8 ms (BASELINE.md)
 
+# Time-budget guard (round-4 postmortem: the driver's `python bench.py`
+# hit its timeout during a cold-cache warmup and the round ended with NO
+# verified number).  The budget is measured from process start; once the
+# unavoidable parts (warmup/compile, RTT baseline) have eaten most of it,
+# the measurement loop degrades gracefully -- fewer iterations, fewer
+# reps -- instead of running past the external timeout.  At least one
+# measured iteration always runs so the JSON line always prints.
+_T_PROC_START = time.monotonic()
+
+
+def _budget_deadline() -> float | None:
+    """Absolute monotonic deadline from TPU_ALIGN_BENCH_BUDGET (seconds
+    from process start; default 540; 0/off disables)."""
+    raw = os.environ.get("TPU_ALIGN_BENCH_BUDGET", "540").strip().lower()
+    if raw in ("0", "off", "none", "no", ""):
+        return None
+    return _T_PROC_START + float(raw)
+
+
+def _remaining(deadline: float | None) -> float:
+    return float("inf") if deadline is None else deadline - time.monotonic()
+
 
 def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
               batch_pairs=32768, iters=5, algorithm="lnw", verbose=True,
-              profile_dir=None, kernel="auto", stripe=None):
+              profile_dir=None, kernel="auto", stripe=None, deadline=None):
     from tpu_align.utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -74,10 +96,11 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
         f"gen {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    # query_multiple=16 keeps the distinct kernel-shape count (and thus
-    # remote compile time) low at ~3% padding cost
+    # query_multiple=32 keeps the distinct kernel-shape count (and thus
+    # remote compile time) minimal -- 2 shapes for the 100k workload at
+    # the same 95.03% padding efficiency as 16 (measured round 5)
     spec = BucketSpec(batch_pairs=batch_pairs, pair_multiple=128,
-                      query_multiple=16)
+                      query_multiple=32)
     buckets = bucketize(ds, spec)
     pad_cells = sum(b.batch * b.padded_qry * b.padded_ref for b in buckets)
     log(f"bucketize: {len(buckets)} buckets in {time.perf_counter() - t0:.1f}s, "
@@ -129,11 +152,23 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
         log(f"profiler trace written to {profile_dir}")
 
     reps = 4
+    if _remaining(deadline) < 30:
+        # warmup ate nearly the whole budget: take the cheapest valid
+        # measurement rather than none (higher spread, still a number)
+        reps = 1
+        log(f"budget: {_remaining(deadline):.0f}s left after warmup; "
+            f"degrading to reps=1")
     times = []
+    last_iter_wall = 0.0
     for it in range(iters):
+        if times and _remaining(deadline) < 2.0 * last_iter_wall:
+            log(f"budget: stopping after {len(times)}/{iters} iters "
+                f"({_remaining(deadline):.0f}s left)")
+            break
         t0 = time.perf_counter()
         dispatch_all(reps=reps)
-        times.append(max((time.perf_counter() - t0 - rtt) / reps, 1e-9))
+        last_iter_wall = time.perf_counter() - t0
+        times.append(max((last_iter_wall - rtt) / reps, 1e-9))
         log(f"iter {it}: kernel {times[-1] * 1e3:.1f} ms, "
             f"{ds.num_cells / times[-1] / 1e9:.1f} GCUPS")
     best = min(times)
@@ -168,7 +203,7 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
 
 def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
                      algorithm="lnw", verbose=True, traceback_mode="host",
-                     walker="xla", output="blocks", runs=3):
+                     walker="xla", output="blocks", runs=3, deadline=None):
     """End-to-end engine run (fill + traceback + formatting) with the V19
     phase breakdown; emits a record consumable by
     tpu_align.utils.timing_analysis.  traceback_mode='device' exercises
@@ -198,6 +233,10 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
     totals = []
     best = None  # (total, out, nbytes): phases reported from the FASTEST run
     for _ in range(max(runs, 1)):
+        if totals and _remaining(deadline) < 2.0 * totals[-1]:
+            log(f"budget: stopping after {len(totals)}/{runs} runs "
+                f"({_remaining(deadline):.0f}s left)")
+            break
         t0 = time.perf_counter()
         out = engine.run(ds)
         with out.timer.phase("printing"):
@@ -346,6 +385,7 @@ def main():
                     help="retry a transiently-unavailable backend for up "
                          "to S seconds before failing (0 = no retry)")
     args = ap.parse_args()
+    deadline = _budget_deadline()
     if args.backend_wait:
         _wait_for_backend(args.backend_wait, verbose=not args.quiet)
     if args.engine:
@@ -354,6 +394,7 @@ def main():
             batch_pairs=args.batch, algorithm=args.algorithm,
             verbose=not args.quiet, traceback_mode=args.traceback,
             walker=args.walker, output=args.output, runs=args.runs,
+            deadline=deadline,
         )
     else:
         run = lambda: run_bench(  # noqa: E731
@@ -361,6 +402,7 @@ def main():
             with_traceback=not args.scores_only, batch_pairs=args.batch,
             iters=args.iters, algorithm=args.algorithm, verbose=not args.quiet,
             profile_dir=args.profile, kernel=args.kernel, stripe=args.stripe,
+            deadline=deadline,
         )
     # the retry protects the WHOLE run: a worker restart mid-sweep
     # (BENCH_r02's failure mode raised from jax.device_put inside

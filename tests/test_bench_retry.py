@@ -61,3 +61,36 @@ def test_wait_for_backend_raises_non_transient_immediately(monkeypatch):
     monkeypatch.setattr(b.jax, "device_put", bad_device_put)
     with pytest.raises(RuntimeError, match="plugin not found"):
         b._wait_for_backend(max_wait_s=30, verbose=False)
+
+
+def test_budget_deadline_parsing(monkeypatch):
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "off")
+    assert b._budget_deadline() is None
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "0")
+    assert b._budget_deadline() is None
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "120")
+    d = b._budget_deadline()
+    assert d is not None and b._remaining(d) <= 120
+    monkeypatch.delenv("TPU_ALIGN_BENCH_BUDGET")
+    assert b._budget_deadline() is not None  # default 540 stays on
+
+
+def test_bench_emits_json_with_exhausted_budget():
+    """The rc=124 regression: a warmup that eats the whole budget must
+    still produce a result line (one reps=1 iteration), not die silently."""
+    import time
+    b = _bench()
+    # deadline already in the past when the measurement loop starts
+    res = b.run_bench(num_pairs=64, seq_len=24, batch_pairs=64,
+                      iters=5, verbose=False, deadline=time.monotonic() - 1)
+    assert res["metric"] == "lnw_fill_gcups"
+    assert res["kernel_ms"] > 0
+    assert len(res["gcups_samples"]) == 1  # degraded to a single iteration
+
+
+def test_bench_budget_off_runs_all_iters():
+    b = _bench()
+    res = b.run_bench(num_pairs=64, seq_len=24, batch_pairs=64,
+                      iters=3, verbose=False, deadline=None)
+    assert len(res["gcups_samples"]) == 3
