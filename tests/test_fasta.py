@@ -41,10 +41,14 @@ def test_fasta_to_pairfile_consecutive_and_two_file(tmp_path):
     ds = parse_pair_file(str(pf))
     assert ds.pair(0) == ("ATCG", "ATGG")
     assert ds.pair(1) == ("CCCC", "CCGC")
-    # two-file positional mode
+    # two-file positional mode: counts must match exactly
     fb = tmp_path / "qry.fasta"
     fb.write_bytes(b">x\nGGTT\n>y\nAACC\n")
-    n2 = fasta_to_pairfile(str(fa), str(pf), queries_path=str(fb))
+    with pytest.raises(ValueError, match="record counts differ"):
+        fasta_to_pairfile(str(fa), str(pf), queries_path=str(fb))
+    fa2 = tmp_path / "refs2.fasta"
+    fa2.write_bytes(b">a\nATCG\n>b\nATGG\n")
+    n2 = fasta_to_pairfile(str(fa2), str(pf), queries_path=str(fb))
     assert n2 == 2
     ds2 = parse_pair_file(str(pf))
     assert ds2.pair(0) == ("ATCG", "GGTT")

@@ -71,8 +71,14 @@ def fasta_to_pairfile(fasta_path: str, out_path: str,
     recs = read_fasta(fasta_path)
     if queries_path is not None:
         qrecs = read_fasta(queries_path)
-        n = min(len(recs), len(qrecs))
-        pairs = [(recs[k], qrecs[k]) for k in range(n)]
+        if len(recs) != len(qrecs):
+            # a count mismatch in positionally-paired files is a data
+            # error; silently dropping the tail would hide missing reads
+            raise ValueError(
+                f"reference/query FASTA record counts differ: "
+                f"{len(recs)} in {fasta_path!r} vs {len(qrecs)} in "
+                f"{queries_path!r}")
+        pairs = list(zip(recs, qrecs))
     else:
         pairs = [(recs[2 * k], recs[2 * k + 1]) for k in range(len(recs) // 2)]
     with open(out_path, "wb") as f:

@@ -602,10 +602,13 @@ class AlignmentEngine:
 
             workers = int(os.environ.get("TPU_ALIGN_PREFETCH", "2"))
             pool = ThreadPoolExecutor(max_workers=max(workers, 1))
-            if self.kernel == "stagger":
+            if self.kernel == "stagger" and self.algorithm is not Algorithm.BSW:
                 # upload stager: bucket token H2D runs on worker streams
                 # ahead of dispatch (concurrent tunnel streams move ~1.5x
-                # one stream's bytes/sec) and overlaps everything else
+                # one stream's bytes/sec) and overlaps everything else.
+                # BSW is excluded: its _dispatch branch takes the banded
+                # kernel, which uploads raw tokens itself -- prestaging a
+                # FusedBlob would cross the tunnel twice per bucket.
                 uworkers = int(os.environ.get("TPU_ALIGN_UPLOAD", "2"))
                 upool = ThreadPoolExecutor(max_workers=max(uworkers, 1))
 

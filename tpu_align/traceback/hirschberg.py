@@ -49,6 +49,7 @@ import numpy as np
 
 from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.core.result import AlignmentResult
+from tpu_align.kernels.fill import NEG as _FILL_NEG
 from tpu_align.kernels.fill import fill_bucket_async
 
 GAP = "_"
@@ -124,7 +125,16 @@ def _split_reduce_jit(hlast, flast, fhb, bhb, nn, go, affine=False):
     the credited F rows (tot_f = Ff + Bf_rev - go, the bridged gap's
     open counted once, Myers & Miller 1988)."""
     n = hlast.shape[0]
-    neg = jnp.int32(-(2 ** 30))
+    # Overflow bound for the int32 sums below: every captured last-row
+    # value is either a finite DP score (|H| <= max_len * max|weight|,
+    # << 2^30 for any length this module accepts) or the fill's -inf
+    # sentinel fill.NEG = -(2^30).  The worst sum is therefore
+    # ~2*fill.NEG + |extra| ~ -2^31 + max_len*|go|, which stays above
+    # INT32_MIN, and such sums only arise from sentinel operands, which
+    # the j >= 0 mask (and the final argmax, since any real path beats
+    # them) discards.  `neg` here must equal fill.NEG so masked cells
+    # rank below every finite total without doubling past INT32_MIN.
+    neg = jnp.int32(_FILL_NEG)
 
     def combine(last, border_f, border_b, extra=0):
         f = jnp.concatenate([border_f[:, None], last[:, 0::2].T], axis=1)
