@@ -214,9 +214,34 @@ def test_engine_blocks_local_mode_all():
     assert out.output_bytes() == want.output_text().encode("ascii")
 
 
-def test_engine_blocks_rejects_checkpoint(tmp_path):
-    ds = synthetic_dataset(4, min_len=5, max_len=20, seed=34)
-    with pytest.raises(ValueError):
-        AlignmentEngine(
-            Algorithm.LNW, bucket_spec=_SPEC, output="blocks"
-        ).run(ds, checkpoint_dir=str(tmp_path / "ckpt"))
+def test_engine_blocks_checkpoint_resume(tmp_path, monkeypatch):
+    """Kill-and-resume for the blocks path (the CLI default): per-bucket
+    .npz parts persist the formatted bytes; a resumed run re-dispatches
+    nothing and the final stream is byte-identical."""
+    import os
+
+    ds = synthetic_dataset(24, min_len=8, max_len=40, seed=6)
+    engine = AlignmentEngine(Algorithm.LNW, bucket_spec=_SPEC,
+                             output="blocks")
+    ref = engine.run(ds)  # no checkpointing: the byte-stream oracle
+    ckpt = str(tmp_path / "ckpt")
+    first = engine.run(ds, checkpoint_dir=ckpt)
+    assert bytes(first.blocks) == bytes(ref.blocks)
+    files = [f for f in os.listdir(ckpt) if f.endswith(".npz")]
+    assert files
+    # full resume must not dispatch any kernel work
+    def boom(*a, **k):
+        raise AssertionError("kernel dispatched on full resume")
+
+    monkeypatch.setattr(engine, "_dispatch", boom)
+    second = engine.run(ds, checkpoint_dir=ckpt)
+    assert bytes(second.blocks) == bytes(ref.blocks)
+    # partial resume ("killed" mid-run): drop one part, restore dispatch
+    monkeypatch.undo()
+    os.remove(os.path.join(ckpt, files[0]))
+    third = engine.run(ds, checkpoint_dir=ckpt)
+    assert bytes(third.blocks) == bytes(ref.blocks)
+    # a records-path run shares the dir without clashing (.json files)
+    rec_engine = AlignmentEngine(Algorithm.LNW, bucket_spec=_SPEC)
+    rec = rec_engine.run(ds, checkpoint_dir=ckpt)
+    assert rec.output_text().encode() == bytes(ref.blocks)

@@ -84,8 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "records", "blocks"],
                    help="result assembly: per-pair records or the native "
                         "block formatter (no per-pair Python strings; "
-                        "byte-identical output).  auto = blocks unless "
-                        "-checkpoint-dir needs records")
+                        "byte-identical output).  auto = blocks; both "
+                        "modes support -checkpoint-dir")
     p.add_argument("-out", default=None, help="write output blocks to file")
     p.add_argument("-checkpoint-dir", default=None,
                    help="persist per-batch results; re-runs resume from here")
@@ -118,7 +118,7 @@ def main(argv=None) -> int:
         return 2
     output = args.output
     if output == "auto":
-        output = "records" if args.checkpoint_dir else "blocks"
+        output = "blocks"
     mesh = None
     if args.mesh:
         import jax

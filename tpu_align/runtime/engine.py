@@ -490,6 +490,27 @@ class AlignmentEngine:
             json.dump(payload, f)
         os.replace(tmp, path)  # atomic: a checkpoint is whole or absent
 
+    @staticmethod
+    def _load_blocks_checkpoint(path: str):
+        """Blocks-path bucket checkpoint: one _BlockCollector part
+        (ids, scores, chunk, spans) persisted as .npz.  Blocks bytes are
+        traceback-engine-independent (byte-parity invariant), so a part
+        written by a host-walk run resumes a device-walk run and vice
+        versa."""
+        try:
+            with np.load(path) as z:
+                return (z["ids"], z["scores"], z["chunk"], z["spans"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    @staticmethod
+    def _save_blocks_checkpoint(path: str, part) -> None:
+        ids, scores, chunk, spans = part
+        tmp = path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez(f, ids=ids, scores=scores, chunk=chunk, spans=spans)
+        os.replace(tmp, path)  # atomic: a checkpoint is whole or absent
+
     def run(self, ds: PairDataset,
             checkpoint_dir: str | None = None) -> EngineResult:
         """Align a dataset.  With checkpoint_dir set, each bucket's results
@@ -500,11 +521,6 @@ class AlignmentEngine:
         timer = PhaseTimer()
         collector = _BlockCollector() if self.output == "blocks" else None
         if checkpoint_dir:
-            if collector is not None:
-                raise ValueError(
-                    "checkpoint_dir requires output='records' (checkpoints "
-                    "persist per-pair records)"
-                )
             if self.local_mode == "all" or (
                     self.traceback_mode == "hirschberg" and self.with_traceback):
                 raise ValueError(
@@ -569,15 +585,34 @@ class AlignmentEngine:
         pending: list[Bucket] = []
         if checkpoint_dir:
             for b in buckets:
-                restored = self._load_checkpoint(
-                    os.path.join(checkpoint_dir, self._bucket_key(b) + ".json")
-                )
+                base = os.path.join(checkpoint_dir, self._bucket_key(b))
+                if collector is not None:
+                    part = self._load_blocks_checkpoint(base + ".npz")
+                    if part is not None:
+                        collector.add_chunk(*part)
+                    else:
+                        pending.append(b)
+                    continue
+                restored = self._load_checkpoint(base + ".json")
                 if restored is not None:
                     results.extend(restored)
                 else:
                     pending.append(b)
         else:
             pending = buckets
+
+        def _ckpt_blocks(b: Bucket, n_before: int) -> None:
+            """Persist the part(s) this bucket just appended to the
+            collector (each add_* appends exactly one)."""
+            if not checkpoint_dir or collector is None:
+                return
+            if len(collector.parts) == n_before:  # pragma: no cover
+                return
+            part = collector.parts[-1]
+            self._save_blocks_checkpoint(
+                os.path.join(checkpoint_dir, self._bucket_key(b) + ".npz"),
+                part,
+            )
 
         # Sliding-window dispatch (the V13 STREAM_BATCH_SIZE bound,
         # cuda/LNW/LinearNeedlemanWunschV13.cu:10): keep at most
@@ -672,6 +707,7 @@ class AlignmentEngine:
                                *self._finalize_args(b, (scores, srow, scol))))
                 if collector is not None:
                     with timer.phase("printing"):
+                        nparts = len(collector.parts)
                         part = bucket_blocks_from_finalized(
                             self.algorithm, b, self.params, fin)
                         if part is not None:
@@ -689,6 +725,7 @@ class AlignmentEngine:
                                     b.pair_ids[:b.num_real], sc, out_buf,
                                     out_lens,
                                 )
+                        _ckpt_blocks(b, nparts)
                     _top_up()
                     continue
                 with timer.phase("backtrack"):
@@ -739,6 +776,7 @@ class AlignmentEngine:
                 )
             if collector is not None:
                 nb = b.num_real
+                nparts = len(collector.parts)
                 if self.with_traceback:
                     with timer.phase("backtrack"):
                         arrays = traceback_bucket_arrays(
@@ -754,11 +792,13 @@ class AlignmentEngine:
                                 self.algorithm, b, fill, self.params,
                                 use_native=False,
                             ))
+                        _ckpt_blocks(b, nparts)
                 else:
                     with timer.phase("printing"):
                         collector.add_scores(
                             b.pair_ids[:nb], fill.scores[:nb]
                         )
+                        _ckpt_blocks(b, nparts)
                 _top_up()
                 continue
             with timer.phase("backtrack"):
