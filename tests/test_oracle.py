@@ -204,3 +204,45 @@ class TestProperties:
     def test_output_block_format(self):
         res = align_pair(Algorithm.LNW, P, "AT", "AT", pair_num=7)
         assert res.block() == "7 | 6\nAT\n**\nAT\n"
+
+
+def test_fill_vectorized_batch_bit_identical():
+    """The cross-pair batched fills (the all-paths fast path) must be
+    bit-identical to the per-pair vectorized oracle, including the
+    strict |row-col| < band edge for BSW."""
+    import numpy as np
+
+    from tpu_align.oracle.vectorized import (fill_vectorized,
+                                             fill_vectorized_batch)
+    from tpu_align.utils import synthetic_dataset
+
+    ds = synthetic_dataset(40, min_len=3, max_len=60, seed=9)
+    pairs = [ds.pair(i) for i in range(len(ds))]
+    cases = [
+        (Algorithm.LNW, AlignmentParams()),
+        (Algorithm.LSW, AlignmentParams()),
+        (Algorithm.BSW, AlignmentParams(band=5)),
+        (Algorithm.BSW, AlignmentParams(band=1)),
+    ]
+    for algo, p in cases:
+        batch = fill_vectorized_batch(algo, p, pairs, chunk=16)
+        for k, (r, q) in enumerate(pairs):
+            one = fill_vectorized(algo, p, r, q)
+            assert np.array_equal(batch[k].h, one.h), (algo, k)
+            assert np.array_equal(batch[k].main_dirs, one.main_dirs), (algo, k)
+
+
+def test_local_all_paths_start_scan_vectorized():
+    """The vectorized max-cell scan must keep the BFS start ordering
+    (rows bottom-up, columns right-to-left) of the Python scan spec."""
+    from tpu_align.oracle.api import align_pair
+    from tpu_align.utils import synthetic_dataset
+
+    ds = synthetic_dataset(30, min_len=4, max_len=30, seed=13, alphabet="AT")
+    for i in range(len(ds)):
+        a = align_pair(Algorithm.LSW, AlignmentParams(), *ds.pair(i),
+                       engine="scalar", local_mode="all")
+        b = align_pair(Algorithm.LSW, AlignmentParams(), *ds.pair(i),
+                       engine="vectorized", local_mode="all")
+        assert a.block() == b.block()
+        assert a.extra_paths == b.extra_paths

@@ -121,18 +121,21 @@ def _local_all_paths(fill: FillResult, ref: str, qry: str):
     columns right-to-left, then advance paths breadth-first one cell per
     turn; a path completes when its predecessor cell's score is 0.
     Returns paths in completion order and the max score."""
+    import numpy as np
+
     h = fill.h
     m, n = h.shape[0] - 1, h.shape[1] - 1
-    max_score = 0
+    # the scan order (rows bottom-up, columns right-to-left, tracking the
+    # running max) collects exactly: every cell equal to the global max,
+    # in descending row-major order -- vectorized here (the Python double
+    # loop was ~10 ms/pair at read scale)
+    interior = h[1:, 1:]
+    max_score = max(int(interior.max()), 0) if interior.size else 0
     starts: list[tuple[int, int]] = []
-    for r in range(m, 0, -1):
-        for c in range(n, 0, -1):
-            v = int(h[r, c])
-            if v > max_score:
-                max_score = v
-                starts = [(r, c)]
-            elif v == max_score and max_score > 0:
-                starts.append((r, c))
+    if max_score > 0:
+        rs, cs = np.nonzero(interior == max_score)
+        starts = [(int(r) + 1, int(c) + 1)
+                  for r, c in zip(rs[::-1], cs[::-1])]
     results = []
     queue = deque(("", "", "", r, c) for (r, c) in starts)
     while queue:

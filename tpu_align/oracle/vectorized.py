@@ -24,6 +24,11 @@ from tpu_align.core.params import Algorithm, AlignmentParams
 from tpu_align.oracle.scalar import FillResult
 
 _I64 = np.int64
+# The batched fills below run in int32: every DP value is bounded by
+# max(len) * max|weight| (and the scan's j*g derank by the same), so
+# int32 is exact up to ~10^6-base sequences -- and the per-pair oracle
+# casts to int32 at the end anyway, so results stay bit-identical.
+_I32 = np.int32
 
 
 def _encode(seq: str) -> np.ndarray:
@@ -207,3 +212,163 @@ def _fill_anw(p: AlignmentParams, ref: str, qry: str) -> FillResult:
         e_dirs,
         f_dirs,
     )
+
+
+# --- cross-pair batched fills (the all-paths fast path) ----------------------
+#
+# The per-pair row sweep above spends most of its time in numpy call
+# overhead (rows are ~250 elements).  These variants run the SAME
+# recurrences over a (B, n) slab -- one numpy op per row covers a whole
+# chunk of pairs -- and slice per-pair FillResults out at the end.
+# Padded query rows / reference columns use token 0 vs 1 (never equal),
+# so padded cells never match; results are sliced to (m+1, n+1) before
+# they are returned, making the outputs bit-identical to fill_vectorized
+# (anchored in tests/test_oracle.py).
+
+
+def _encode_batch(seqs):
+    """(B, nmax) uint8 token slab + (B,) lengths; ref pad 0 / qry pad 1
+    are chosen by the caller via pad_token."""
+    lens = np.array([len(s) for s in seqs], np.int64)
+    nmax = int(lens.max()) if len(seqs) else 0
+    out = np.zeros((len(seqs), max(nmax, 1)), np.uint8)
+    for k, s in enumerate(seqs):
+        out[k, : len(s)] = np.frombuffer(s.encode("latin-1"), np.uint8)
+    return out, lens
+
+
+def _scan_max_rows(head: np.ndarray, t: np.ndarray, g: int) -> np.ndarray:
+    """Row-wise _scan_max over a (B, n) slab: returns (B, n+1) H with
+    H[:,0]=head, H[:,j]=max(t[:,j-1], H[:,j-1]+g)."""
+    b, n = t.shape
+    v = np.empty((b, n + 1), _I32)
+    v[:, 0] = head
+    jg = np.arange(1, n + 1, dtype=_I32) * g
+    v[:, 1:] = t - jg[None, :]
+    np.maximum.accumulate(v, axis=1, out=v)
+    v[:, 1:] += jg[None, :]
+    return v
+
+
+def fill_vectorized_batch(
+    algorithm: Algorithm,
+    params: AlignmentParams,
+    pairs,
+    tie_policy: str = "cuda",
+    chunk: int = 256,
+):
+    """Batched fill_vectorized over [(reference, query), ...]; returns
+    [FillResult, ...] in input order, bit-identical per pair.  Pairs are
+    processed in length-sorted chunks so padding waste stays low."""
+    if algorithm is Algorithm.ANW:
+        # the affine slab has 6 matrices and all-paths excludes ANW; the
+        # per-pair fill stays the ANW path
+        return [fill_vectorized(algorithm, params, r, q, tie_policy)
+                for r, q in pairs]
+    order = sorted(range(len(pairs)),
+                   key=lambda k: (len(pairs[k][1]), len(pairs[k][0])))
+    out: list = [None] * len(pairs)
+    for at in range(0, len(order), chunk):
+        idx = order[at: at + chunk]
+        refs = [pairs[k][0] for k in idx]
+        qrys = [pairs[k][1] for k in idx]
+        if algorithm is Algorithm.LNW:
+            fills = _fill_lnw_batch(params, refs, qrys)
+        else:
+            band = params.band if algorithm is Algorithm.BSW else None
+            fills = _fill_lsw_batch(params, refs, qrys, band, tie_policy)
+        for k, f in zip(idx, fills):
+            out[k] = f
+    return out
+
+
+def _fill_lnw_batch(p: AlignmentParams, refs, qrys):
+    r_tok, r_len = _encode_batch(refs)
+    q_tok, q_len = _encode_batch(qrys)
+    q_tok[q_tok == 0] = 1  # qry pad 1 never equals ref pad 0
+    b, n = r_tok.shape
+    m = q_tok.shape[1]
+    g = p.gap
+    h = np.zeros((b, m + 1, n + 1), _I32)
+    dirs = np.zeros((b, m + 1, n + 1), np.uint8)
+    h[:, 1:, 0] = np.arange(1, m + 1, dtype=_I32)[None, :] * g
+    h[:, 0, 1:] = np.arange(1, n + 1, dtype=_I32)[None, :] * g
+    dirs[:, 1:, 0] = D.QUERY_DELETION
+    dirs[:, 0, 1:] = D.QUERY_INSERTION
+    for i in range(1, m + 1):
+        is_match = q_tok[:, i - 1: i] == r_tok
+        w = np.where(is_match, p.match, p.mismatch).astype(_I32)
+        ddir = np.where(is_match, D.MATCH, D.MISMATCH).astype(np.uint8)
+        mm = h[:, i - 1, :-1] + w
+        dele = h[:, i - 1, 1:] + g
+        t = np.maximum(mm, dele)
+        dt = np.where(dele >= mm, np.uint8(D.QUERY_DELETION), ddir)
+        row = _scan_max_rows(h[:, i, 0], t, g)
+        h[:, i, :] = row
+        ins = row[:, :-1] + g
+        dirs[:, i, 1:] = np.where(ins >= t, np.uint8(D.QUERY_INSERTION), dt)
+    return [
+        FillResult(Algorithm.LNW,
+                   h[k, : q_len[k] + 1, : r_len[k] + 1].astype(np.int32),
+                   np.ascontiguousarray(
+                       dirs[k, : q_len[k] + 1, : r_len[k] + 1]))
+        for k in range(b)
+    ]
+
+
+def _fill_lsw_batch(p: AlignmentParams, refs, qrys, band, tie_policy):
+    r_tok, r_len = _encode_batch(refs)
+    q_tok, q_len = _encode_batch(qrys)
+    q_tok[q_tok == 0] = 1
+    b, n = r_tok.shape
+    m = q_tok.shape[1]
+    g = p.gap
+    algo = Algorithm.LSW if band is None else Algorithm.BSW
+    h = np.zeros((b, m + 1, n + 1), _I32)
+    dirs = np.zeros((b, m + 1, n + 1), np.uint8)
+    cols = np.arange(1, n + 1, dtype=np.int64)[None, :]
+    for i in range(1, m + 1):
+        is_match = q_tok[:, i - 1: i] == r_tok
+        w = np.where(is_match, p.match, p.mismatch).astype(_I32)
+        ddir = np.where(is_match, D.MATCH, D.MISMATCH).astype(np.uint8)
+        mm = h[:, i - 1, :-1] + w
+        dele = h[:, i - 1, 1:] + g
+        t0 = np.maximum(np.maximum(mm, dele), 0)
+        if band is not None:
+            # out-of-band cells contribute 0 to the scan and store nothing
+            # (python/LinearBandedSmithWaterman.py:71: columns
+            # [1+max(0,row-band), row+band) -- STRICT |row-col| < band)
+            in_band = np.abs(i - cols) < band
+            t0 = np.where(in_band, t0, 0)
+        row = _scan_max_rows(h[:, i, 0], t0, g)
+        ins = row[:, :-1] + g
+        final = row[:, 1:]
+        if tie_policy == "cuda":
+            d = ddir.copy()
+            best = mm
+            d = np.where(ins >= best, np.uint8(D.QUERY_INSERTION), d)
+            best = np.maximum(best, ins)
+            d = np.where(dele >= best, np.uint8(D.QUERY_DELETION), d)
+            best = np.maximum(best, dele)
+            d = np.where(0 >= best, np.uint8(D.NONE), d)
+        elif tie_policy == "cpu":
+            d = ddir.copy()
+            d = np.where(ins == final, np.uint8(D.QUERY_INSERTION), d)
+            d = np.where(dele == final, np.uint8(D.QUERY_DELETION), d)
+            d = np.where((mm < 0) & (dele < 0) & (ins < 0),
+                         np.uint8(D.NONE), d)
+        else:
+            raise ValueError(f"unknown tie_policy {tie_policy!r}")
+        if band is not None:
+            h[:, i, 1:] = np.where(in_band, final, 0)
+            dirs[:, i, 1:] = np.where(in_band, d, np.uint8(D.NONE))
+        else:
+            h[:, i, 1:] = final
+            dirs[:, i, 1:] = d
+    return [
+        FillResult(algo,
+                   h[k, : q_len[k] + 1, : r_len[k] + 1].astype(np.int32),
+                   np.ascontiguousarray(
+                       dirs[k, : q_len[k] + 1, : r_len[k] + 1]))
+        for k in range(b)
+    ]

@@ -530,13 +530,31 @@ class AlignmentEngine:
                 )
             os.makedirs(checkpoint_dir, exist_ok=True)
         if self.local_mode == "all":
-            # BACKTRACK_ALL needs the full score matrix per pair; every
-            # pair runs on the oracle (kernels store packed single-path
-            # directions only).  c++/LinearSmithWaterman.cpp:116-228.
+            # BACKTRACK_ALL needs the full score matrix per pair (kernels
+            # store packed single-path directions only,
+            # c++/LinearSmithWaterman.cpp:116-228).  Fills run on the
+            # cross-pair BATCHED vectorized oracle (one numpy op per DP
+            # row covers a whole chunk of pairs -- ~40x the per-pair
+            # scalar fallback at read scale); path enumeration stays the
+            # BFS spec.  Pairs with an empty side keep the scalar path.
+            from tpu_align.oracle.traceback import traceback_pair
+            from tpu_align.oracle.vectorized import fill_vectorized_batch
+
             results = []
             with timer.phase("backtrack"):
+                full = [i for i in range(len(ds))
+                        if ds.ref_len[i] > 0 and ds.qry_len[i] > 0]
+                fills = fill_vectorized_batch(
+                    self.algorithm, self.params,
+                    [ds.pair(i) for i in full])
+                for i, fill in zip(full, fills):
+                    ref, qry = ds.pair(i)
+                    results.append(traceback_pair(
+                        fill, ref, qry, pair_num=i,
+                        local_mode=self.local_mode, params=self.params))
                 for i in range(len(ds)):
-                    results.append(self._oracle_fallback(ds, i))
+                    if ds.ref_len[i] == 0 or ds.qry_len[i] == 0:
+                        results.append(self._oracle_fallback(ds, i))
             with timer.phase("printing"):
                 results.sort(key=lambda r: r.pair_num)
                 if collector is not None:
