@@ -107,11 +107,14 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
         f"padding efficiency {ds.num_cells / pad_cells:.2%}")
 
     # pre-stage device inputs so the measured loop is kernel-only
+    t0 = time.perf_counter()
     staged = [
         tuple(jax.device_put(x) for x in
               (b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len))
         for b in buckets
     ]
+    jax.block_until_ready(staged[-1])
+    log(f"staged {len(staged)} buckets in {time.perf_counter() - t0:.1f}s")
 
     def dispatch_all(reps=1):
         out = None

@@ -94,6 +94,9 @@ def main():
                          "over the serial per-pair loop")
     ap.add_argument("--skip-serial", action="store_true",
                     help="batch mode: skip the serial baseline timing")
+    ap.add_argument("--warm", action="store_true",
+                    help="single-pair mode: run one unmeasured warmup "
+                         "pass first (compiles the shape vocabulary)")
     args = ap.parse_args()
 
     from tpu_align.utils.cache import enable_compile_cache
@@ -115,6 +118,16 @@ def main():
         for c in (ref * reps)[: args.qry]
     )
 
+    if args.warm:
+        # compile warmup: the recursion's shape vocabulary (pow2-padded
+        # level fills + split reduces + leaf engine) compiles on the
+        # first pass; steady-state wall is the honest per-pair cost on a
+        # warm service (same discipline as bench.py's warmup+iters)
+        t0 = time.perf_counter()
+        hirschberg_align(Algorithm(args.algorithm), None, ref, qry,
+                         leaf_q=args.leaf_q)
+        print(f"warm pass: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
     t0 = time.perf_counter()
     res = hirschberg_align(
         Algorithm(args.algorithm), None, ref, qry, leaf_q=args.leaf_q

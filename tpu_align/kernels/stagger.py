@@ -115,8 +115,24 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
     # Measurement-only attribution knob (PERF.md, ANW dirs cost): pack the
     # 2-bit main code but SKIP the E/F extend-bit ORs.  Output dirs are NOT
     # walkable (affine traceback needs the extend bits); read at trace time,
-    # so only fresh processes (bench A/B runs) see a change.
+    # so only fresh processes (bench A/B runs) see a change.  The walk
+    # dispatchers REFUSE affine walks while this knob is active
+    # (traceback/device.py, traceback/host.py) so it cannot silently
+    # produce wrong alignments.
     ef_bits = os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") != "0"
+    # A/B knob: build the affine H from f_row (2 maxes) instead of the
+    # round-3 reassociated 3-max tree with f_open at depth 1.  Bitwise
+    # identical by max associativity; trades one op of throughput for a
+    # longer latency path -- which wins depends on whether the dirs-on
+    # kernel is throughput- or latency-bound (PERF.md round-5).
+    anw_hmax2 = os.environ.get("TPU_ALIGN_ANW_HMAX2", "0") == "1"
+    # A/B knob: carry the reversed-ref window as a loop slab (roll + one
+    # (1, P) row load per step) instead of re-slicing an (S, P) dynamic
+    # window from VMEM every step.  Exact by construction: row r of step
+    # k's window is ref[k-r], and rows entering past the sequence end
+    # load revref's zero padding -- the same pad token the static slice
+    # reads.  Trades VMEM load traffic for +S/8 carried vregs.
+    rollref = os.environ.get("TPU_ALIGN_ROLLREF", "0") == "1"
     assert not (emit_last_row and is_local), "last-row mode is global-only"
     assert not (emit_last_row and with_traceback)
     assert not (has_open_top and not is_affine), "open_top is affine-only"
@@ -251,8 +267,16 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             int (k itself is traced in the bulk fori), so the direction
             constants are pre-shifted immediates and the bottom-row
             collect mask is a constant."""
+            refslab_c = None
             if is_affine:
-                s1, up_prev, s1f, s1e, acc, rowmax, rowcol = carry
+                if rollref:
+                    (s1, up_prev, s1f, s1e, refslab_c,
+                     acc, rowmax, rowcol) = carry
+                else:
+                    s1, up_prev, s1f, s1e, acc, rowmax, rowcol = carry
+            elif rollref:
+                s1, up_prev, refslab_c, acc, rowmax, rowcol = carry
+                s1f = s1e = None
             else:
                 s1, up_prev, acc, rowmax, rowcol = carry
                 s1f = s1e = None
@@ -266,8 +290,17 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 diag = jnp.where(inj, border_diag, diag)
                 left = jnp.where(inj, border_left, left)
             # substitution: ref[k - r] via the sliding reversed window
-            start = jnp.maximum(S + n_cols - 1 - k, 0)
-            refslab = revref_ref[pl.ds(start, S), :].astype(jnp.int32)
+            if rollref:
+                refslab = refslab_c
+                # pre-position the window for step k+1: one (1, P) row
+                # enters at sublane 0 (zeros pad past the sequence end)
+                nxt = revref_ref[
+                    pl.ds(jnp.maximum(S + n_cols - 2 - k, 0), 1), :
+                ].astype(jnp.int32)
+                refslab_c = _shift1(refslab, nxt)
+            else:
+                start = jnp.maximum(S + n_cols - 1 - k, 0)
+                refslab = revref_ref[pl.ds(start, S), :].astype(jnp.int32)
             is_match = refslab == qslab
             mm = diag + jnp.where(is_match, wm2, wx2)
             if is_affine:
@@ -301,9 +334,12 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 # `__vibmax >=` chain (same operands, off the cycle --
                 # they only feed the direction word, and are dead code in
                 # scores-only mode).
-                h = jnp.maximum(
-                    jnp.maximum(jnp.maximum(mm, f_ext), e_row), f_open
-                )
+                if anw_hmax2:
+                    h = jnp.maximum(jnp.maximum(mm, f_row), e_row)
+                else:
+                    h = jnp.maximum(
+                        jnp.maximum(jnp.maximum(mm, f_ext), e_row), f_open
+                    )
                 if with_traceback:
                     _, take_del = dpx.vibmax_s32(f_row, mm)
                     # == e_row >= max(f_row, mm), the chain's final `>=`
@@ -399,7 +435,11 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
                 rowmax = jnp.where(ktarget == k, h, rowmax)
 
             if is_affine:
+                if rollref:
+                    return h, up, f_row, e_row, refslab_c, acc, rowmax, rowcol
                 return h, up, f_row, e_row, acc, rowmax, rowcol
+            if rollref:
+                return h, up, refslab_c, acc, rowmax, rowcol
             return h, up, acc, rowmax, rowcol
 
         def word_step(wi, carry, inject):
@@ -415,7 +455,7 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             # step (spw full-slab selects).
             slabs, word_carry = carry
             acc = jnp.zeros(shape, jnp.int32)
-            nslab = 4 if is_affine else 2
+            nslab = (4 if is_affine else 2) + (1 if rollref else 0)
             st = slabs[:nslab] + (acc,) + word_carry
             bot_rows, botf_rows = [], []
             caph_rows, capf_rows = [], []
@@ -469,6 +509,12 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
             slabs = (junk, junk, neg_slab, neg_slab)
         else:
             slabs = (junk, junk)
+        if rollref:
+            # step-0 window: row r holds ref[-r] = revref[S+n-1+r] (all
+            # zeros pad; real chars roll in from step 1)
+            slabs = slabs + (
+                revref_ref[pl.ds(S + n_cols - 1, S), :].astype(jnp.int32),
+            )
         word_carry = (jnp.full(shape, NEG, jnp.int32),
                       jnp.zeros(shape, jnp.int32))  # rowcol unused for global
         # border injections can only fire during the first S steps: unroll

@@ -405,6 +405,16 @@ def device_walk_dispatch(
     the host replay needs transfer as one unit.
 
     Returns an opaque handle for device_walk_finalize."""
+    if algorithm.is_affine:
+        import os
+
+        if os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") == "0":
+            # the knob is a scores-only bench attribution aid: it drops
+            # the E/F extend bits from the packed dirs, which this walk
+            # needs -- walking would silently produce wrong alignments
+            raise RuntimeError(
+                "TPU_ALIGN_ANW_EF_BITS=0 emits non-walkable affine dirs "
+                "(E/F extend bits dropped); unset it for traceback runs")
     dirs = jnp.asarray(dirs)
     args = (jnp.asarray(start_row), jnp.asarray(start_col),
             jnp.asarray(scores))

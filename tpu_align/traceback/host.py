@@ -181,6 +181,16 @@ def traceback_bucket(
     byte-identical (tests/test_native.py)."""
     if fill.dirs is None:
         raise ValueError("bucket was filled with with_traceback=False")
+    if algorithm.is_affine:
+        import os
+
+        if os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") == "0":
+            # bench-attribution knob: dirs lack the E/F extend bits this
+            # walk needs (see kernels/stagger.py) -- fail loudly instead
+            # of emitting wrong alignments
+            raise RuntimeError(
+                "TPU_ALIGN_ANW_EF_BITS=0 emits non-walkable affine dirs "
+                "(E/F extend bits dropped); unset it for traceback runs")
     params = params or AlignmentParams()
     if use_native:
         native = _native_traceback(algorithm, bucket, fill, params)
