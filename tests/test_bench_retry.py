@@ -94,3 +94,39 @@ def test_bench_budget_off_runs_all_iters():
     res = b.run_bench(num_pairs=64, seq_len=24, batch_pairs=64,
                       iters=3, verbose=False, deadline=None)
     assert len(res["gcups_samples"]) == 3
+
+
+def test_supervisor_retries_hang_then_succeeds(monkeypatch, capsys):
+    """A hung first attempt (TimeoutExpired) must be killed and retried;
+    the second attempt's final stdout line is forwarded verbatim."""
+    import subprocess
+
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "300")
+    calls = []
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        calls.append(timeout)
+        if len(calls) == 1:
+            raise subprocess.TimeoutExpired(cmd, timeout, stderr="hung")
+        class P:
+            returncode = 0
+            stdout = "warmup noise\n{\"metric\": \"x\", \"value\": 1}\n"
+            stderr = "child log\n"
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert b._supervise([]) == 0
+    assert len(calls) == 2
+    assert calls[0] < 300  # first attempt leaves retry headroom
+    out = capsys.readouterr().out.strip()
+    assert out == '{"metric": "x", "value": 1}'
+
+
+def test_supervisor_gives_up_when_budget_gone(monkeypatch):
+    import time as _t
+
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "1")
+    _t.sleep(1.1)  # NOTE: deadline measured from process start, long past
+    assert b._supervise([]) == 1
