@@ -206,7 +206,8 @@ def run_bench(num_pairs=100_000, seq_len=250, with_traceback=True,
 
 def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
                      algorithm="lnw", verbose=True, traceback_mode="host",
-                     walker="xla", output="blocks", runs=3, deadline=None):
+                     walker="xla", output="blocks", runs=3, deadline=None,
+                     prestage=False):
     """End-to-end engine run (fill + traceback + formatting) with the V19
     phase breakdown; emits a record consumable by
     tpu_align.utils.timing_analysis.  traceback_mode='device' exercises
@@ -233,6 +234,16 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         output=output,
     )
     engine.warmup(ds)
+    prestage_bytes = prestage_s = 0
+    if prestage:
+        # device-resident inputs: measures the pipeline a PCIe-attached
+        # host would see (the reference's sequence H2D is ~3 ms at
+        # 16 GB/s; this tunnel moves ~20 MB/s -- scripts/probe_tunnel.py).
+        # Reported alongside the tunnel-measured row, never instead of it.
+        t0 = time.perf_counter()
+        prestage_bytes = engine.prestage(ds)
+        prestage_s = time.perf_counter() - t0
+        log(f"prestaged {prestage_bytes / 1e6:.1f} MB in {prestage_s:.2f}s")
     totals = []
     best = None  # (total, out, nbytes): phases reported from the FASTEST run
     for _ in range(max(runs, 1)):
@@ -273,7 +284,10 @@ def run_engine_bench(num_pairs=100_000, seq_len=250, batch_pairs=4096,
         "total_s_spread": round(spread, 4),
         "label": f"{algo.value}-e2e-{traceback_mode}"
                  + (f"-{walker}" if traceback_mode == "device" else "")
-                 + ("-records" if output == "records" else ""),
+                 + ("-records" if output == "records" else "")
+                 + ("-prestaged" if prestage else ""),
+        "prestage_bytes": prestage_bytes or None,
+        "prestage_s": round(prestage_s, 3) if prestage else None,
         "traceback_mode": traceback_mode,
         "walker": walker if traceback_mode == "device" else None,
         "output": output,
@@ -442,6 +456,10 @@ def main():
                     choices=["blocks", "records"],
                     help="engine bench result assembly: native block "
                          "formatter (default) or per-pair records")
+    ap.add_argument("--prestage", action="store_true",
+                    help="engine bench: upload token blobs before the "
+                         "timed runs (device-resident inputs -- the "
+                         "PCIe-host configuration; see engine.prestage)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one sweep to DIR")
@@ -458,7 +476,7 @@ def main():
             batch_pairs=args.batch, algorithm=args.algorithm,
             verbose=not args.quiet, traceback_mode=args.traceback,
             walker=args.walker, output=args.output, runs=args.runs,
-            deadline=deadline,
+            deadline=deadline, prestage=args.prestage,
         )
     else:
         run = lambda: run_bench(  # noqa: E731

@@ -254,8 +254,9 @@ class AlignmentEngine:
         (the reference's printf loop, c++/backtrack.cpp:205-210) and
         EngineResult carries one pair-ordered byte stream
         (EngineResult.blocks / output_bytes()) -- byte-identical to the
-        "records" text but with no Python-string printing cost.
-        Incompatible with checkpoint_dir (which persists records).
+        "records" text but with no Python-string printing cost.  Both
+        output modes support checkpoint_dir (blocks persist per-bucket
+        .npz parts; records persist .json).
 
         mesh: a jax.sharding.Mesh (distributed.make_pairs_mesh) runs every
         bucket's fill -- and device walk, when traceback="device" -- data
@@ -306,6 +307,7 @@ class AlignmentEngine:
         # optimum STRIPE_S
         self.stripe_s = int(stripe_s) if stripe_s else STRIPE_S
         self.mesh = mesh
+        self._prestaged: dict[str, object] = {}  # see prestage()
         if mesh is not None:
             if traceback == "hirschberg" or local_mode == "all":
                 raise ValueError(
@@ -454,6 +456,40 @@ class AlignmentEngine:
                     device_walk_finalize(handle)
             jax.block_until_ready([o for o in outs if o is not None])
 
+    def _buckets_of(self, ds: PairDataset) -> list[Bucket]:
+        """Bucketize the kernel-eligible pairs with dataset-level ids
+        (the same buckets run() processes, in the same order)."""
+        main_idx = np.flatnonzero((ds.ref_len > 0) & (ds.qry_len > 0))
+        buckets = bucketize(ds.select(main_idx), self.bucket_spec)
+        # bucket pair_ids index into the selection; remap to dataset ids
+        for b in buckets:
+            real = b.pair_ids >= 0
+            b.pair_ids[real] = main_idx[b.pair_ids[real]]
+        return buckets
+
+    def prestage(self, ds: PairDataset) -> int:
+        """Upload every bucket's fused token blob to the device ahead of
+        run() (device-resident inputs).  run() then dispatches fills from
+        the staged blobs and the measured pipeline carries no bulk H2D --
+        the configuration of a host with a direct PCIe link, where the
+        reference's own sequence upload costs ~3 ms (50 MB at 16 GB/s;
+        cuda/LNW/LinearNeedlemanWunschV19.cu:422-440).  On tunneled
+        setups this separates link cost (scripts/probe_tunnel.py) from
+        pipeline cost.  Returns the number of bytes staged; 0 when the
+        path does not apply (BSW / rowscan / mesh runs)."""
+        self._prestaged.clear()
+        if (self.kernel != "stagger" or self.algorithm is Algorithm.BSW
+                or self.mesh is not None):
+            return 0
+        total = 0
+        for b in self._buckets_of(ds):
+            fb = self._upload(b)
+            if fb is None:
+                continue
+            self._prestaged[self._bucket_key(b)] = fb
+            total += int(fb.blob.nbytes)
+        return total
+
     def _bucket_key(self, b: Bucket) -> str:
         """Content hash identifying one bucket's work for checkpointing."""
         h = hashlib.sha1()
@@ -591,13 +627,8 @@ class AlignmentEngine:
         # pairs with an empty side cannot enter the kernel (no DP interior);
         # they fall back to the oracle
         empty_idx = np.flatnonzero((ds.ref_len == 0) | (ds.qry_len == 0))
-        main_idx = np.flatnonzero((ds.ref_len > 0) & (ds.qry_len > 0))
         with timer.phase("memmgmt"):
-            buckets = bucketize(ds.select(main_idx), self.bucket_spec)
-        # bucket pair_ids index into the selection; remap to dataset ids
-        for b in buckets:
-            real = b.pair_ids >= 0
-            b.pair_ids[real] = main_idx[b.pair_ids[real]]
+            buckets = self._buckets_of(ds)
 
         results: list[AlignmentResult] = []
         pending: list[Bucket] = []
@@ -666,11 +697,20 @@ class AlignmentEngine:
                 upool = ThreadPoolExecutor(max_workers=max(uworkers, 1))
 
         def _stage_ahead():
-            if upool is None:
-                return
             limit = self.max_inflight or len(pending)
             for k in range(next_up, min(next_up + limit, len(pending))):
-                if k not in staged:
+                if k in staged:
+                    continue
+                if self._prestaged:
+                    fb = self._prestaged.get(self._bucket_key(pending[k]))
+                    if fb is not None:
+                        from concurrent.futures import Future
+
+                        done: Future = Future()
+                        done.set_result(fb)
+                        staged[k] = done
+                        continue
+                if upool is not None:
                     staged[k] = upool.submit(self._upload, pending[k])
 
         def _top_up():
