@@ -36,6 +36,15 @@ run --engine --pairs 20000 --traceback device
 run --engine --pairs 20000 --traceback device --output records
 run --engine --pairs 20000 --traceback device --walker pallas
 run --engine --pairs 20000 --algorithm bsw --traceback device
+# the reference-workload e2e (100k pairs, V12 comparison rows): measured
+# over the tunnel AND with device-resident inputs (the PCIe-host
+# configuration; see engine.prestage).  Commit the same-session
+# probe_tunnel record alongside -- the tunnel row moves with the link.
+run --engine --pairs 100000 --traceback device --walker pallas --runs 5
+run --engine --pairs 100000 --traceback device --walker pallas --runs 5 \
+  --prestage
+timeout 600 python scripts/probe_tunnel.py >> "$out" \
+  || echo "FAILED: probe_tunnel" >&2
 # long-pair Hirschberg (no direction storage)
 timeout 3000 python scripts/bench_long.py --qry 16384 --ref 4096 >> "$out" \
   || echo "FAILED: bench_long" >&2

@@ -120,12 +120,15 @@ def _make_stagger_kernel(algo: Algorithm, p: AlignmentParams, n_cols: int,
     # (traceback/device.py, traceback/host.py) so it cannot silently
     # produce wrong alignments.
     ef_bits = os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") != "0"
-    # A/B knob: build the affine H from f_row (2 maxes) instead of the
-    # round-3 reassociated 3-max tree with f_open at depth 1.  Bitwise
-    # identical by max associativity; trades one op of throughput for a
-    # longer latency path -- which wins depends on whether the dirs-on
-    # kernel is throughput- or latency-bound (PERF.md round-5).
-    anw_hmax2 = os.environ.get("TPU_ALIGN_ANW_HMAX2", "0") == "1"
+    # Affine H value tree: from f_row (2 maxes) or the round-3
+    # reassociated 3-max tree with f_open at depth 1.  Bitwise identical
+    # by max associativity; the 2-max form trades path latency for one
+    # op of throughput.  Measured (ab_r05.jsonl): with dirs ON the
+    # kernel is throughput-bound and 2-max wins (141.5 -> 145.0 GCUPS);
+    # scores-only is latency-bound and keeps the reassociated tree
+    # (round-3 measurement).  Env knob overrides for A/B.
+    _hm = os.environ.get("TPU_ALIGN_ANW_HMAX2", "")
+    anw_hmax2 = (_hm == "1") if _hm else with_traceback
     # A/B knob: carry the reversed-ref window as a loop slab (roll + one
     # (1, P) row load per step) instead of re-slicing an (S, P) dynamic
     # window from VMEM every step.  Exact by construction: row r of step
