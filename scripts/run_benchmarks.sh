@@ -45,9 +45,13 @@ run --engine --pairs 100000 --traceback device --walker pallas --runs 5 \
   --prestage
 timeout 600 python scripts/probe_tunnel.py >> "$out" \
   || echo "FAILED: probe_tunnel" >&2
-# long-pair Hirschberg (no direction storage)
-timeout 3000 python scripts/bench_long.py --qry 16384 --ref 4096 >> "$out" \
-  || echo "FAILED: bench_long" >&2
+# long-pair Hirschberg (no direction storage).  The flagship row is the
+# WARM 131kbp x 16kbp pair (executables reused across recursion depths;
+# cold-compile overhead attributed separately in hirsch_r05.jsonl).
+timeout 3000 python scripts/bench_long.py --warm --qry 131072 --ref 16384 \
+  >> "$out" || echo "FAILED: bench_long 131k" >&2
+timeout 3000 python scripts/bench_long.py --warm --qry 16384 --ref 4096 \
+  >> "$out" || echo "FAILED: bench_long" >&2
 # many-long-pairs Hirschberg: level-batched across pairs vs serial loop
 timeout 6000 python scripts/bench_long.py --batch 64 --qry 16384 \
   --ref 16384 >> "$out" || echo "FAILED: bench_long --batch" >&2
