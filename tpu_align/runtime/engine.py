@@ -684,7 +684,11 @@ class AlignmentEngine:
         if device_tb and self.mesh is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            workers = int(os.environ.get("TPU_ALIGN_PREFETCH", "2"))
+            # default 4: one worker per in-flight bucket at the headline
+            # batch (100k pairs / 32768); measured prestaged e2e 309k ->
+            # 335k pairs/sec vs 2 workers (aggregate tunnel D2H rises to
+            # ~4 concurrent streams, scripts/probe_tunnel.py), 8 is flat
+            workers = int(os.environ.get("TPU_ALIGN_PREFETCH", "4"))
             pool = ThreadPoolExecutor(max_workers=max(workers, 1))
             if self.kernel == "stagger" and self.algorithm is not Algorithm.BSW:
                 # upload stager: bucket token H2D runs on worker streams
