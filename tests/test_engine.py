@@ -245,3 +245,27 @@ def test_engine_blocks_checkpoint_resume(tmp_path, monkeypatch):
     rec_engine = AlignmentEngine(Algorithm.LNW, bucket_spec=_SPEC)
     rec = rec_engine.run(ds, checkpoint_dir=ckpt)
     assert rec.output_text().encode() == bytes(ref.blocks)
+
+
+def test_engine_prestage_byte_identical():
+    """Device-resident inputs (engine.prestage, the PCIe-host e2e
+    configuration bench.py --prestage measures) must run the identical
+    pipeline: same blocks bytes and scores as an un-staged run, and the
+    staging must actually be consumed (every bucket's blob registered)."""
+    ds = synthetic_dataset(30, min_len=6, max_len=100, seed=33)
+    ref = AlignmentEngine(
+        Algorithm.LNW, bucket_spec=_SPEC, traceback="device",
+        output="blocks",
+    ).run(ds)
+    engine = AlignmentEngine(
+        Algorithm.LNW, bucket_spec=_SPEC, traceback="device",
+        output="blocks",
+    )
+    nbytes = engine.prestage(ds)
+    assert nbytes > 0
+    assert len(engine._prestaged) == len(engine._buckets_of(ds))
+    out = engine.run(ds)
+    assert bytes(out.blocks) == bytes(ref.blocks)
+    assert list(out.scores()) == list(ref.scores())
+    # prestage is a no-op for configurations without the fused-blob path
+    assert AlignmentEngine(Algorithm.BSW, bucket_spec=_SPEC).prestage(ds) == 0
