@@ -54,7 +54,13 @@ def _budget_deadline() -> float | None:
     raw = os.environ.get("TPU_ALIGN_BENCH_BUDGET", "540").strip().lower()
     if raw in ("0", "off", "none", "no", ""):
         return None
-    return _T_PROC_START + float(raw)
+    try:
+        secs = float(raw)
+    except ValueError:
+        print(f"bench: ignoring malformed TPU_ALIGN_BENCH_BUDGET={raw!r}; "
+              "using 540", file=sys.stderr)
+        secs = 540.0
+    return _T_PROC_START + secs
 
 
 def _remaining(deadline: float | None) -> float:
@@ -379,7 +385,10 @@ def _supervise(argv) -> int:
     deadline = _budget_deadline()
     if deadline is None:
         return None  # supervision needs a budget; run inline
+    if any(a in ("-h", "--help") for a in argv):
+        return None  # argparse help: run inline, full output
     attempt = 0
+    fast_fails = 0
     while True:
         remaining = deadline - time.monotonic()
         if remaining < 45:
@@ -397,10 +406,16 @@ def _supervise(argv) -> int:
         print(f"bench supervisor: attempt {attempt}, "
               f"{att:.0f}s timeout ({remaining:.0f}s budget left)",
               file=sys.stderr)
+        t_att = time.monotonic()
         try:
+            # kill timeout gets headroom over the child's own budget so
+            # the child's degraded final iteration (run_bench always
+            # emits one JSON line) can finish before the SIGKILL
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + argv,
-                env=env, timeout=att, capture_output=True, text=True,
+                env=env,
+                timeout=min(att + 30, max(deadline - time.monotonic(), 45)),
+                capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired as e:
             print(f"bench supervisor: attempt {attempt} timed out "
@@ -415,6 +430,19 @@ def _supervise(argv) -> int:
             # forward only the final JSON line (the contract)
             print(proc.stdout.strip().splitlines()[-1])
             return 0
+        if proc.returncode == 2:  # argparse usage error: deterministic
+            sys.stdout.write(proc.stdout)
+            return 2
+        if time.monotonic() - t_att < 45:
+            # died quickly: likely a deterministic failure (import error,
+            # bad knob), not a backend hang -- don't churn the budget
+            fast_fails += 1
+            if fast_fails >= 2:
+                print("bench supervisor: 2 fast failures "
+                      f"(rc={proc.returncode}); giving up", file=sys.stderr)
+                return proc.returncode or 1
+        else:
+            fast_fails = 0
         print(f"bench supervisor: attempt {attempt} exited "
               f"rc={proc.returncode}; retrying", file=sys.stderr)
 

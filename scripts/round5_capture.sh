@@ -11,9 +11,11 @@
 #   5. full matrix + PARITY_r05 + scaling (VERDICT #3)
 #
 # Usage: scripts/round5_capture.sh [phase...]   (default: all)
-set -u
+set -uo pipefail   # the bench|sed pipes must fail when BENCH fails
 cd "$(dirname "$0")/.."
 phases=${*:-"1 2 3 4 5"}
+# internal bench budget tracks the outer timeouts (see run_benchmarks.sh)
+export TPU_ALIGN_BENCH_BUDGET=${TPU_ALIGN_BENCH_BUDGET:-2300}
 log() { echo "=== $(date +%H:%M:%S) $* ===" >&2; }
 
 run_ab() {  # run_ab <label> <env...> -- <bench args...>

@@ -13,6 +13,10 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 out=${1:-bench_runs.jsonl}
 : > "$out"
+# the bench's internal supervisor budget must match the outer timeout,
+# or its 540 s default self-terminates cold-cache runs long before the
+# timeout this script actually grants
+export TPU_ALIGN_BENCH_BUDGET=${TPU_ALIGN_BENCH_BUDGET:-2900}
 run() { echo "=== $* ===" >&2; timeout 3000 python bench.py "$@" --quiet >> "$out" || echo "FAILED: $*" >&2; }
 for algo in lnw lsw anw bsw; do
   run --algorithm "$algo"

@@ -130,3 +130,85 @@ def test_supervisor_gives_up_when_budget_gone(monkeypatch):
     monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "1")
     _t.sleep(1.1)  # NOTE: deadline measured from process start, long past
     assert b._supervise([]) == 1
+
+
+def test_budget_deadline_malformed_falls_back(monkeypatch, capsys):
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "9m")
+    d = b._budget_deadline()
+    assert d is not None  # falls back to the 540 default, no ValueError
+    assert "malformed" in capsys.readouterr().err
+
+
+def test_supervisor_stops_on_fast_deterministic_failures(monkeypatch):
+    """A child that dies immediately (import error, bad knob) must not
+    be re-spawned until the budget drains: two fast failures give up."""
+    import subprocess
+
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "300")
+    calls = []
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        calls.append(timeout)
+        class P:
+            returncode = 1
+            stdout = ""
+            stderr = "Traceback: boom\n"
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert b._supervise([]) == 1
+    assert len(calls) == 2
+
+
+def test_supervisor_forwards_argparse_errors(monkeypatch):
+    """rc=2 (argparse usage error) is deterministic: no retry, child rc
+    forwarded."""
+    import subprocess
+
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "300")
+    calls = []
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        calls.append(timeout)
+        class P:
+            returncode = 2
+            stdout = "usage: bench.py ...\n"
+            stderr = "error: unrecognized arguments\n"
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert b._supervise([]) == 2
+    assert len(calls) == 1
+
+
+def test_supervisor_help_runs_inline(monkeypatch):
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "300")
+    assert b._supervise(["--help"]) is None  # caller falls through to main
+
+
+def test_supervisor_kill_timeout_exceeds_child_budget(monkeypatch, capsys):
+    """The parent's kill timeout must give the child headroom past its
+    own TPU_ALIGN_BENCH_BUDGET so the degraded final iteration can
+    still emit its JSON line."""
+    import subprocess
+
+    b = _bench()
+    monkeypatch.setenv("TPU_ALIGN_BENCH_BUDGET", "300")
+    seen = {}
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        seen["child_budget"] = float(env["TPU_ALIGN_BENCH_BUDGET"])
+        seen["kill_timeout"] = timeout
+        class P:
+            returncode = 0
+            stdout = '{"metric": "x", "value": 1}\n'
+            stderr = ""
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert b._supervise([]) == 0
+    assert seen["kill_timeout"] > seen["child_budget"]

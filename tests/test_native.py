@@ -64,3 +64,25 @@ def test_native_traceback_matches_python(rng, algo):
         assert len(got) == len(want)
         for g, w in zip(got, want):
             assert g == w, f"{algo}: pair {g.pair_num}\n{g.block()}\n{w.block()}"
+
+
+def test_anw_ef_bits_knob_guards_every_walk_entry(monkeypatch):
+    """TPU_ALIGN_ANW_EF_BITS=0 (bench-attribution knob) drops the affine
+    E/F extend bits from the dirs; every host walk entry point must
+    refuse rather than silently emit wrong alignments -- including
+    traceback_bucket_arrays, the engine's default native blocks path."""
+    from types import SimpleNamespace
+
+    from tpu_align.traceback.host import traceback_bucket_arrays
+
+    monkeypatch.setenv("TPU_ALIGN_ANW_EF_BITS", "0")
+    fake_fill = SimpleNamespace(dirs=np.zeros(1, np.int32))
+    with pytest.raises(RuntimeError, match="EF_BITS"):
+        traceback_bucket(Algorithm.ANW, None, fake_fill, AlignmentParams())
+    with pytest.raises(RuntimeError, match="EF_BITS"):
+        traceback_bucket_arrays(Algorithm.ANW, None, fake_fill,
+                                AlignmentParams())
+    # non-affine walks are unaffected by the knob (guard must not fire)
+    from tpu_align.traceback.host import _check_affine_walkable
+
+    _check_affine_walkable(Algorithm.LNW)

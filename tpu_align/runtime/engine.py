@@ -491,7 +491,13 @@ class AlignmentEngine:
         return total
 
     def _bucket_key(self, b: Bucket) -> str:
-        """Content hash identifying one bucket's work for checkpointing."""
+        """Content hash identifying one bucket's work for checkpointing.
+        Memoized on the bucket (hashing the multi-MB token arrays costs
+        ~10 ms, and _stage_ahead re-checks keys on every _top_up)."""
+        cfg = (self.algorithm.value, repr(self.params), self.with_traceback)
+        cached = getattr(b, "_key_cache", None)
+        if cached is not None and cached[0] == cfg:
+            return cached[1]
         h = hashlib.sha1()
         h.update(repr((self.algorithm.value, self.params,
                        self.with_traceback)).encode())
@@ -499,7 +505,9 @@ class AlignmentEngine:
             h.update(np.ascontiguousarray(arr).tobytes())
         h.update(b.ref_tokens.tobytes())
         h.update(b.qry_tokens.tobytes())
-        return h.hexdigest()[:24]
+        key = h.hexdigest()[:24]
+        b._key_cache = (cfg, key)
+        return key
 
     @staticmethod
     def _load_checkpoint(path: str) -> list[AlignmentResult] | None:
@@ -580,14 +588,25 @@ class AlignmentEngine:
             with timer.phase("backtrack"):
                 full = [i for i in range(len(ds))
                         if ds.ref_len[i] > 0 and ds.qry_len[i] > 0]
-                fills = fill_vectorized_batch(
-                    self.algorithm, self.params,
-                    [ds.pair(i) for i in full])
-                for i, fill in zip(full, fills):
-                    ref, qry = ds.pair(i)
-                    results.append(traceback_pair(
-                        fill, ref, qry, pair_num=i,
-                        local_mode=self.local_mode, params=self.params))
+                # chunk the fill->enumerate loop so resident memory stays
+                # O(chunk), not O(dataset): a FillResult is ~315 KB/pair
+                # at 250 bp (full int32 H + dirs), so holding all fills
+                # for a 100k-pair run would need ~31 GB.  Global length
+                # sort keeps each chunk's padding low (results re-sort by
+                # pair_num below).
+                full.sort(key=lambda k: (int(ds.qry_len[k]),
+                                         int(ds.ref_len[k])))
+                step = 1024
+                for at in range(0, len(full), step):
+                    part = full[at: at + step]
+                    fills = fill_vectorized_batch(
+                        self.algorithm, self.params,
+                        [ds.pair(i) for i in part])
+                    for i, fill in zip(part, fills):
+                        ref, qry = ds.pair(i)
+                        results.append(traceback_pair(
+                            fill, ref, qry, pair_num=i,
+                            local_mode=self.local_mode, params=self.params))
                 for i in range(len(ds)):
                     if ds.ref_len[i] == 0 or ds.qry_len[i] == 0:
                         results.append(self._oracle_fallback(ds, i))

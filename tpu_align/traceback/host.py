@@ -165,6 +165,20 @@ def _walk_local_rescore(main_dirs, ref: str, qry: str, r: int, c: int,
     )
 
 
+def _check_affine_walkable(algorithm: Algorithm) -> None:
+    """Fail loudly when the bench-attribution knob dropped the affine E/F
+    extend bits from the dirs (see kernels/stagger.py): every walk entry
+    point (records, native arrays, device) must refuse rather than emit
+    wrong alignments."""
+    if algorithm.is_affine:
+        import os
+
+        if os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") == "0":
+            raise RuntimeError(
+                "TPU_ALIGN_ANW_EF_BITS=0 emits non-walkable affine dirs "
+                "(E/F extend bits dropped); unset it for traceback runs")
+
+
 def traceback_bucket(
     algorithm: Algorithm,
     bucket: Bucket,
@@ -181,16 +195,7 @@ def traceback_bucket(
     byte-identical (tests/test_native.py)."""
     if fill.dirs is None:
         raise ValueError("bucket was filled with with_traceback=False")
-    if algorithm.is_affine:
-        import os
-
-        if os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") == "0":
-            # bench-attribution knob: dirs lack the E/F extend bits this
-            # walk needs (see kernels/stagger.py) -- fail loudly instead
-            # of emitting wrong alignments
-            raise RuntimeError(
-                "TPU_ALIGN_ANW_EF_BITS=0 emits non-walkable affine dirs "
-                "(E/F extend bits dropped); unset it for traceback runs")
+    _check_affine_walkable(algorithm)
     params = params or AlignmentParams()
     if use_native:
         native = _native_traceback(algorithm, bucket, fill, params)
@@ -240,6 +245,7 @@ def traceback_bucket_arrays(
     out_lens) arrays -- the engine's no-Python-strings fast path feeds
     these straight to the native block formatter.  None if the native
     library is unavailable."""
+    _check_affine_walkable(algorithm)
     from tpu_align.native import native_traceback_bucket
 
     nb = bucket.num_real
