@@ -294,3 +294,23 @@ def test_cli_mesh_flag(tmp_path):
     assert main(argv + ["-mesh", "-1", "-out", str(a)]) == 0
     assert main(argv + ["-out", str(b)]) == 0
     assert a.read_text() == b.read_text()
+
+
+def test_engine_sharded_honors_stripe_s():
+    """A non-default stagger stripe width must flow through fill_sharded
+    into the sharded fill (and match the walkers' view of the dirs
+    layout): mesh + stripe_s=16 is byte-identical to the unsharded run
+    AND to the default-stripe output.  Regression: fill_sharded used to
+    drop stripe_s, silently filling S=32 dirs that the engine then
+    decoded as S=16."""
+    from tpu_align.runtime.engine import AlignmentEngine
+
+    mesh = make_pairs_mesh(jax.devices()[:8])
+    ds = synthetic_dataset(48, min_len=12, max_len=40, seed=23)
+    kwargs = dict(bucket_spec=BucketSpec(batch_pairs=64),
+                  traceback="device", output="blocks", stripe_s=16)
+    got = AlignmentEngine(Algorithm.LNW, mesh=mesh, **kwargs).run(ds)
+    want = AlignmentEngine(Algorithm.LNW, **kwargs).run(ds)
+    ref = AlignmentEngine(Algorithm.LNW, bucket_spec=BucketSpec(
+        batch_pairs=64), output="blocks").run(ds)
+    assert got.output_text() == want.output_text() == ref.output_text()

@@ -165,7 +165,14 @@ def main(argv=None) -> int:
           f"{st.max_query_length}/{st.avg_query_length:.1f}", file=err)
     print(f"{'parse':>12}: {parse_s * 1e6:14.1f} us", file=err)
     print(out.timer.report(), file=err)
-    print(f"GCUPS (kernel): {out.gcups:.3f}", file=err)
+    if out.timer.seconds.get("kernel"):
+        print(f"GCUPS (kernel): {out.gcups:.3f}", file=err)
+    else:
+        # device-traceback runs never block in a host-visible kernel
+        # phase (fill+walk overlap dispatch/backtrack); a 0.000 here
+        # would misread as a broken kernel
+        print("GCUPS (kernel): n/a (device-overlapped; see total)",
+              file=err)
     return 0
 
 

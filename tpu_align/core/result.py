@@ -38,3 +38,20 @@ class AlignmentResult:
         for (r, m, q) in self.extra_paths:
             lines.extend([r, m, q])
         return "\n".join(lines) + "\n"
+
+
+def results_from_arrays(pair_ids, scores, out_buf, out_lens,
+                        num_real: int) -> list[AlignmentResult]:
+    """Decode the native walker's array contract -- out_buf (B, 3, stride)
+    uint8 rows holding (reference, relation, query) bytes, out_lens (B,)
+    valid lengths -- into per-pair AlignmentResults.  The single decoder
+    for every consumer (host walk, device replay, engine records path)."""
+    return [
+        AlignmentResult(
+            int(pair_ids[row]), int(scores[row]),
+            out_buf[row, 0, :int(out_lens[row])].tobytes().decode("ascii"),
+            out_buf[row, 1, :int(out_lens[row])].tobytes().decode("ascii"),
+            out_buf[row, 2, :int(out_lens[row])].tobytes().decode("ascii"),
+        )
+        for row in range(num_real)
+    ]

@@ -69,6 +69,7 @@ def fill_sharded(
     with_traceback: bool = True,
     interpret: bool | None = None,
     kernel: str = "stagger",
+    stripe_s: int | None = None,
 ):
     """Run the fill kernel data-parallel over the mesh's `pairs` axis.
 
@@ -76,8 +77,14 @@ def fill_sharded(
     8 * mesh size; outputs are global arrays sharded on the batch axis.
     Returns (scores, start_row, start_col, dirs-or-None) as JAX arrays.
     kernel selects the fill formulation ("stagger" default, "rowscan",
-    or "banded" -- forced for the banded aligner).
+    or "banded" -- forced for the banded aligner); stripe_s the stagger
+    stripe width (dirs layout (stripes, W, stripe_s, B) -- the walkers
+    must be told the same value, which the engine guarantees).
     """
+    from tpu_align.kernels.stagger import STRIPE_S
+
+    if stripe_s is None:
+        stripe_s = STRIPE_S
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if algorithm.is_banded:
@@ -112,9 +119,14 @@ def fill_sharded(
                 params, rt, qt, rl, ql,
                 with_traceback=with_traceback, interpret=interpret,
             )
+        elif stagger:
+            scores, srow, scol, dirs = _fill_stagger_jit(
+                algorithm, params, rt, qt, rl, ql,
+                with_traceback=with_traceback, interpret=interpret,
+                stripe_s=stripe_s,
+            )
         else:
-            fill = _fill_stagger_jit if stagger else _fill_jit
-            scores, srow, scol, dirs = fill(
+            scores, srow, scol, dirs = _fill_jit(
                 algorithm, params, rt, qt, rl, ql,
                 with_traceback=with_traceback, interpret=interpret,
             )

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from tpu_align.core.params import Algorithm, AlignmentParams
-from tpu_align.core.result import AlignmentResult
+from tpu_align.core.result import AlignmentResult, results_from_arrays
 from tpu_align.io.bucketing import Bucket, BucketSpec, bucketize
 from tpu_align.io.dataset import PairDataset
 from tpu_align.kernels.banded import fill_banded_bucket_async
@@ -368,7 +368,7 @@ class AlignmentEngine:
                 self.mesh, self.algorithm, self.params,
                 b.ref_tokens, b.qry_tokens, b.ref_len, b.qry_len,
                 with_traceback=self.with_traceback, interpret=self.interpret,
-                kernel=self.kernel,
+                kernel=self.kernel, stripe_s=self.stripe_s,
             )
         if self.algorithm is Algorithm.BSW:
             return fill_banded_bucket_async(
@@ -766,69 +766,127 @@ class AlignmentEngine:
                     launches.append((b, outs, handle, fut))
                 next_up += 1
 
-        _top_up()
-        while launches:
-            b, (scores, srow, scol, dirs), handle, fut = launches.pop(0)
-            if device_tb and dirs is not None:
-                # V8-style: dirs never leave the device; the walk runs
-                # there and only event payloads / packed move streams
-                # transfer.  The finalize (ONE readback per bucket: walk
-                # result + scores/starts in a single device_get) ran on a
-                # prefetch worker, overlapped with earlier buckets' replay.
-                from tpu_align.traceback.device import (
-                    bucket_arrays_from_finalized,
-                    bucket_blocks_from_finalized,
-                    finalize_any,
-                )
+        try:
+            _top_up()
+            while launches:
+                b, (scores, srow, scol, dirs), handle, fut = launches.pop(0)
+                if device_tb and dirs is not None:
+                    # V8-style: dirs never leave the device; the walk runs
+                    # there and only event payloads / packed move streams
+                    # transfer.  The finalize (ONE readback per bucket: walk
+                    # result + scores/starts in a single device_get) ran on a
+                    # prefetch worker, overlapped with earlier buckets' replay.
+                    from tpu_align.traceback.device import (
+                        bucket_arrays_from_finalized,
+                        bucket_blocks_from_finalized,
+                        finalize_any,
+                    )
 
-                with timer.phase("backtrack"):
-                    fin = (fut.result() if fut is not None
-                           else finalize_any(
-                               handle,
-                               *self._finalize_args(b, (scores, srow, scol))))
-                if collector is not None:
-                    with timer.phase("printing"):
-                        nparts = len(collector.parts)
-                        part = bucket_blocks_from_finalized(
-                            self.algorithm, b, self.params, fin)
-                        if part is not None:
-                            # fused native replay+format: event streams ->
-                            # final block bytes in one pass
-                            collector.add_chunk(*part)
-                        else:
-                            out = bucket_arrays_from_finalized(
+                    with timer.phase("backtrack"):
+                        fin = (fut.result() if fut is not None
+                               else finalize_any(
+                                   handle,
+                                   *self._finalize_args(b, (scores, srow, scol))))
+                    if collector is not None:
+                        with timer.phase("printing"):
+                            nparts = len(collector.parts)
+                            part = bucket_blocks_from_finalized(
                                 self.algorithm, b, self.params, fin)
-                            if isinstance(out, list):  # native lib absent
-                                collector.add_results(out)
+                            if part is not None:
+                                # fused native replay+format: event streams ->
+                                # final block bytes in one pass
+                                collector.add_chunk(*part)
                             else:
-                                sc, out_buf, out_lens = out
+                                out = bucket_arrays_from_finalized(
+                                    self.algorithm, b, self.params, fin)
+                                if isinstance(out, list):  # native lib absent
+                                    collector.add_results(out)
+                                else:
+                                    sc, out_buf, out_lens = out
+                                    collector.add_arrays(
+                                        b.pair_ids[:b.num_real], sc, out_buf,
+                                        out_lens,
+                                    )
+                            _ckpt_blocks(b, nparts)
+                        _top_up()
+                        continue
+                    with timer.phase("backtrack"):
+                        out = bucket_arrays_from_finalized(
+                            self.algorithm, b, self.params, fin)
+                        if isinstance(out, list):
+                            bucket_results = out
+                        else:
+                            sc, out_buf, out_lens = out
+                            bucket_results = results_from_arrays(
+                                b.pair_ids, sc, out_buf, out_lens,
+                                b.num_real)
+                    results.extend(bucket_results)
+                    if checkpoint_dir:
+                        with timer.phase("printing"):
+                            self._save_checkpoint(
+                                os.path.join(
+                                    checkpoint_dir, self._bucket_key(b) + ".json"
+                                ),
+                                bucket_results,
+                            )
+                    _top_up()
+                    continue
+                with timer.phase("kernel"):
+                    # blocks only on this bucket; later kernels keep running.
+                    # One coalesced device_get (single round trip on tunneled
+                    # backends); the copies were started at dispatch time.
+                    got = jax.device_get(
+                        (scores, srow, scol) + ((dirs,) if dirs is not None
+                                                else ())
+                    )
+                    is_bsw = self.algorithm is Algorithm.BSW
+                    fill = BucketFill(
+                        got[0], got[1], got[2],
+                        got[3] if dirs is not None else None,
+                        band=(self.params.band if is_bsw else None),
+                        stagger=(self.stripe_s if (self.kernel == "stagger"
+                                              and not is_bsw) else None),
+                    )
+                if collector is not None:
+                    nb = b.num_real
+                    nparts = len(collector.parts)
+                    if self.with_traceback:
+                        with timer.phase("backtrack"):
+                            arrays = traceback_bucket_arrays(
+                                self.algorithm, b, fill, self.params
+                            )
+                        with timer.phase("printing"):
+                            if arrays is not None:
                                 collector.add_arrays(
-                                    b.pair_ids[:b.num_real], sc, out_buf,
-                                    out_lens,
+                                    b.pair_ids[:nb], fill.scores[:nb], *arrays
                                 )
-                        _ckpt_blocks(b, nparts)
+                            else:  # native walker absent: Python walk
+                                collector.add_results(traceback_bucket(
+                                    self.algorithm, b, fill, self.params,
+                                    use_native=False,
+                                ))
+                            _ckpt_blocks(b, nparts)
+                    else:
+                        with timer.phase("printing"):
+                            collector.add_scores(
+                                b.pair_ids[:nb], fill.scores[:nb]
+                            )
+                            _ckpt_blocks(b, nparts)
                     _top_up()
                     continue
                 with timer.phase("backtrack"):
-                    out = bucket_arrays_from_finalized(
-                        self.algorithm, b, self.params, fin)
-                    if isinstance(out, list):
-                        bucket_results = out
+                    if self.with_traceback:
+                        bucket_results = traceback_bucket(
+                            self.algorithm, b, fill, self.params
+                        )
                     else:
-                        sc, out_buf, out_lens = out
                         bucket_results = [
                             AlignmentResult(
-                                int(b.pair_ids[row]), int(sc[row]),
-                                out_buf[row, 0, :out_lens[row]]
-                                .tobytes().decode("ascii"),
-                                out_buf[row, 1, :out_lens[row]]
-                                .tobytes().decode("ascii"),
-                                out_buf[row, 2, :out_lens[row]]
-                                .tobytes().decode("ascii"),
+                                int(b.pair_ids[row]), int(fill.scores[row])
                             )
                             for row in range(b.num_real)
                         ]
-                results.extend(bucket_results)
+                    results.extend(bucket_results)
                 if checkpoint_dir:
                     with timer.phase("printing"):
                         self._save_checkpoint(
@@ -837,77 +895,15 @@ class AlignmentEngine:
                             ),
                             bucket_results,
                         )
-                _top_up()
-                continue
-            with timer.phase("kernel"):
-                # blocks only on this bucket; later kernels keep running.
-                # One coalesced device_get (single round trip on tunneled
-                # backends); the copies were started at dispatch time.
-                got = jax.device_get(
-                    (scores, srow, scol) + ((dirs,) if dirs is not None
-                                            else ())
-                )
-                is_bsw = self.algorithm is Algorithm.BSW
-                fill = BucketFill(
-                    got[0], got[1], got[2],
-                    got[3] if dirs is not None else None,
-                    band=(self.params.band if is_bsw else None),
-                    stagger=(self.stripe_s if (self.kernel == "stagger"
-                                          and not is_bsw) else None),
-                )
-            if collector is not None:
-                nb = b.num_real
-                nparts = len(collector.parts)
-                if self.with_traceback:
-                    with timer.phase("backtrack"):
-                        arrays = traceback_bucket_arrays(
-                            self.algorithm, b, fill, self.params
-                        )
-                    with timer.phase("printing"):
-                        if arrays is not None:
-                            collector.add_arrays(
-                                b.pair_ids[:nb], fill.scores[:nb], *arrays
-                            )
-                        else:  # native walker absent: Python walk
-                            collector.add_results(traceback_bucket(
-                                self.algorithm, b, fill, self.params,
-                                use_native=False,
-                            ))
-                        _ckpt_blocks(b, nparts)
-                else:
-                    with timer.phase("printing"):
-                        collector.add_scores(
-                            b.pair_ids[:nb], fill.scores[:nb]
-                        )
-                        _ckpt_blocks(b, nparts)
-                _top_up()
-                continue
-            with timer.phase("backtrack"):
-                if self.with_traceback:
-                    bucket_results = traceback_bucket(
-                        self.algorithm, b, fill, self.params
-                    )
-                else:
-                    bucket_results = [
-                        AlignmentResult(
-                            int(b.pair_ids[row]), int(fill.scores[row])
-                        )
-                        for row in range(b.num_real)
-                    ]
-                results.extend(bucket_results)
-            if checkpoint_dir:
-                with timer.phase("printing"):
-                    self._save_checkpoint(
-                        os.path.join(
-                            checkpoint_dir, self._bucket_key(b) + ".json"
-                        ),
-                        bucket_results,
-                    )
-            _top_up()  # refill the dispatch window
-        if pool is not None:
-            pool.shutdown(wait=False)
-        if upool is not None:
-            upool.shutdown(wait=False)
+                _top_up()  # refill the dispatch window
+        finally:
+            # free the prefetch/upload executors on EVERY exit
+            # path -- a raised walk or a wedged backend must not
+            # leak threads blocked in device_get/device_put
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
+            if upool is not None:
+                upool.shutdown(wait=False, cancel_futures=True)
         with timer.phase("backtrack"):
             for i in empty_idx:
                 results.append(self._oracle_fallback(ds, int(i)))

@@ -45,7 +45,7 @@ import numpy as np
 
 from tpu_align.core import directions as D
 from tpu_align.core.params import Algorithm, AlignmentParams
-from tpu_align.core.result import AlignmentResult
+from tpu_align.core.result import AlignmentResult, results_from_arrays
 from tpu_align.kernels.fill import bits_per_cell
 
 
@@ -405,16 +405,11 @@ def device_walk_dispatch(
     the host replay needs transfer as one unit.
 
     Returns an opaque handle for device_walk_finalize."""
-    if algorithm.is_affine:
-        import os
+    from tpu_align.traceback.host import _check_affine_walkable
 
-        if os.environ.get("TPU_ALIGN_ANW_EF_BITS", "1") == "0":
-            # the knob is a scores-only bench attribution aid: it drops
-            # the E/F extend bits from the packed dirs, which this walk
-            # needs -- walking would silently produce wrong alignments
-            raise RuntimeError(
-                "TPU_ALIGN_ANW_EF_BITS=0 emits non-walkable affine dirs "
-                "(E/F extend bits dropped); unset it for traceback runs")
+    _check_affine_walkable(algorithm)  # EF-bits knob: refuse, don't corrupt
+    if t_max is not None:
+        t_max = -(-t_max // 16) * 16  # packing needs a multiple of 16
     dirs = jnp.asarray(dirs)
     args = (jnp.asarray(start_row), jnp.asarray(start_col),
             jnp.asarray(scores))
@@ -503,7 +498,15 @@ def device_walk_dispatch_events(
         walker=walker, extras=extras, start_copies=False,
     )
     walk, packed, t, t_max, extras = handle
-    if m_rows >= 1 << 14 or t_max * 16 >= 1 << 16:
+    # Mode choice.  m_rows < 2**14 is the payload encoding's hard limit
+    # (row in 14 bits).  The t_max threshold is a CAPACITY heuristic,
+    # not the encoding limit (the int32 sort key allows t_max < 2**16):
+    # expected indel events scale with walk length (~4%/step), and the
+    # flat buffer holds EV_CAP_PER_LANE (16) slots/lane on average --
+    # beyond ~1-2k steps events would overflow and the fallback becomes
+    # a COLD full-stream fetch (no async copy pre-started), strictly
+    # worse than choosing stream mode here, whose copy overlaps.
+    if m_rows >= 1 << 14 or t_max >= 1 << 12:
         _copy_to_host_async((packed, t) + extras)
         return handle  # stream-mode tuple; finalize_events detects it
     sr = jnp.asarray(start_row).reshape(-1)
@@ -535,10 +538,16 @@ def device_walk_finalize_events(handle):
     for _ in range(32):
         got = jax.device_get((ev, nev, t, max_nev, total) + extras)
         ev_np, nev_np = got[0], got[1]
+        # extras are host arrays now; device_get passes numpy through, so
+        # retries below don't re-transfer them (device_walk_finalize:577
+        # does the same)
+        extras = tuple(got[5:])
         steps, mx, tot = int(got[2]), int(got[3]), int(got[4])
         if steps >= t_max - 1:  # phase budget exhausted: rewalk doubled
             t_max *= 2
-            if t_max * 16 >= 1 << 16:  # payload bits exhausted too
+            if t_max >= 1 << 12:  # past the events capacity heuristic
+                # (see device_walk_dispatch_events): go straight to the
+                # stream form instead of recompacting a walk this long
                 packed, t = walk(t_max)
                 out = device_walk_finalize(
                     (walk, packed, t, t_max, extras))
@@ -829,15 +838,8 @@ def device_traceback_bucket(
     if isinstance(out, list):
         return out
     sc, out_buf, out_lens = out
-    return [
-        AlignmentResult(
-            int(bucket.pair_ids[row]), int(sc[row]),
-            out_buf[row, 0, :out_lens[row]].tobytes().decode("ascii"),
-            out_buf[row, 1, :out_lens[row]].tobytes().decode("ascii"),
-            out_buf[row, 2, :out_lens[row]].tobytes().decode("ascii"),
-        )
-        for row in range(bucket.num_real)
-    ]
+    return results_from_arrays(bucket.pair_ids, sc, out_buf, out_lens,
+                               bucket.num_real)
 
 
 def _events_to_codes(flat, ev_off, sr, sj, sc, bucket, algorithm, params):

@@ -14,7 +14,7 @@ import numpy as np
 
 from tpu_align.core import directions as D
 from tpu_align.core.params import Algorithm, AlignmentParams
-from tpu_align.core.result import AlignmentResult
+from tpu_align.core.result import AlignmentResult, results_from_arrays
 from tpu_align.io.bucketing import Bucket
 from tpu_align.kernels.fill import BucketFill, bits_per_cell
 from tpu_align.oracle.traceback import _walk_anw, _walk_nw
@@ -270,16 +270,5 @@ def _native_traceback(
     if out is None:
         return None
     out_buf, out_lens = out
-    results = []
-    for row in range(bucket.num_real):
-        ln = int(out_lens[row])
-        results.append(
-            AlignmentResult(
-                int(bucket.pair_ids[row]),
-                int(fill.scores[row]),
-                out_buf[row, 0, :ln].tobytes().decode("ascii"),
-                out_buf[row, 1, :ln].tobytes().decode("ascii"),
-                out_buf[row, 2, :ln].tobytes().decode("ascii"),
-            )
-        )
-    return results
+    return results_from_arrays(bucket.pair_ids, fill.scores, out_buf,
+                               out_lens, bucket.num_real)
