@@ -246,3 +246,25 @@ def test_local_all_paths_start_scan_vectorized():
                        engine="vectorized", local_mode="all")
         assert a.block() == b.block()
         assert a.extra_paths == b.extra_paths
+
+
+def test_cpu_tie_policy_local_walk_stops_at_zero_score():
+    """The reference CPU walker ends a local path when the next cell's
+    SCORE reaches 0 (c++/LinearSmithWaterman.cpp:225-227).  The "cpu"
+    tie policy stores a gap direction in clamped-to-zero cells
+    (LinearSmithWaterman.cpp:104-108), so stopping on dir==NONE alone
+    walked PAST the zero cell, emitting a longer net-zero prefix
+    (score still re-scores -- the divergence is byte parity)."""
+    from tpu_align.oracle.api import align_pair
+
+    p = AlignmentParams(match=3, mismatch=-3, gap=-4)
+    r = align_pair(Algorithm.LSW, p, "ATTTTAATTAAT", "AATAAATTATATA",
+                   engine="scalar", tie_policy="cpu")
+    assert r.score == 17
+    # pre-fix walk emitted ('TTAATTA_AT', '*|***** **', 'TAAATTATAT')
+    assert (r.ref_aligned, r.relation, r.query_aligned) == (
+        "AATTA_AT", "***** **", "AATTATAT")
+    # cuda policy is untouched (h == 0 <=> dir == NONE there)
+    c = align_pair(Algorithm.LSW, p, "ATTTTAATTAAT", "AATAAATTATATA",
+                   engine="scalar", tie_policy="cuda")
+    assert c.score == 17

@@ -102,10 +102,10 @@ def _gather_padded(buf: np.ndarray, off: np.ndarray, lens: np.ndarray,
         if out is not None:
             return out
     out = np.full((rows, width), pad, np.uint8)
-    if n == 0:
+    if n == 0 or buf.size == 0:  # all-empty dataset: nothing to gather
         return out
     col = np.arange(width, dtype=np.int64)
-    pos = np.minimum(off[:, None] + col, max(buf.size - 1, 0))
+    pos = np.minimum(off[:, None] + col, buf.size - 1)
     np.copyto(out[:n], buf[pos], where=col < lens[:, None])
     return out
 

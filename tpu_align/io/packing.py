@@ -95,8 +95,6 @@ def maybe_pack_tokens(tokens: np.ndarray, lens: np.ndarray):
         return None if len(nat) == 3 else nat  # 3-tuple = wide alphabet
     col = np.arange(n, dtype=np.int64)
     mask = col < np.asarray(lens).reshape(-1, 1)
-    seen = np.zeros(256, bool)
-    seen[tokens.reshape(-1)] = True  # includes pad bytes
     # pads (0 / 1, io.bucketing) are regenerated on unpack; only count
     # values that appear inside real content
     real_vals = np.unique(tokens[mask]) if mask.any() else np.zeros(0, np.uint8)

@@ -45,7 +45,9 @@ from tpu_align.kernels.fill import (
     BucketFill,
     _default_interpret,
     _pad_batch,
+    _prefix_max,
     _ref_iota,
+    _shift_down,
     host_pack_tokens,
     unpack_both,
 )
@@ -63,8 +65,7 @@ def frame_width(band: int) -> int:
 
 
 def _shift_down_k(x, fill):
-    rolled = pltpu.roll(x, 1, axis=0)
-    return jnp.where(_ref_iota(x.shape) >= 1, rolled, fill)
+    return _shift_down(x, 1, fill)  # one definition of the scan shift
 
 
 def _shift_up_k(x, fill):
@@ -74,13 +75,7 @@ def _shift_up_k(x, fill):
 
 
 def _prefix_max_k(v):
-    n = v.shape[0]
-    shift = 1
-    while shift < n:
-        rolled = pltpu.roll(v, shift, axis=0)
-        v = jnp.maximum(v, jnp.where(_ref_iota(v.shape) >= shift, rolled, NEG))
-        shift *= 2
-    return v
+    return _prefix_max(v, NEG)  # fill.py's Hillis-Steele, K-width frame
 
 
 def _make_banded_kernel(p: AlignmentParams, k8: int, tile_p: int,

@@ -515,7 +515,11 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
         ref_len = jnp.pad(ref_len.reshape(-1), (0, bp - b))
         qry_len = jnp.pad(qry_len.reshape(-1), (0, bp - b))
         if open_top is not None:
-            open_top = jnp.pad(open_top.reshape(-1), (0, bp - b))
+            # pad with gap_open (not 0 = "already-open credit") so padded
+            # lanes stay bit-identical to the stagger last-rows kernel
+            # (stagger.py pads the same input with params.gap_open)
+            open_top = jnp.pad(open_top.reshape(-1), (0, bp - b),
+                               constant_values=params.gap_open)
         b = bp
     tile_p = TILE_P if not interpret else (TILE_P if b % TILE_P == 0 else b)
     rps = rows_per_word(algorithm)
@@ -612,6 +616,9 @@ def _fill_jit(algorithm, params, ref_tokens, qry_tokens, ref_len, qry_len,
     # dirs stay batch-padded ((MW, B_padded, N)); consumers index real rows
     dirs = outs[1] if with_traceback else None
     if emit_last_row:
+        # the unpack below assumes outs[1] is hlast; the traceback+last-row
+        # combination would mis-assign it (stagger.py guards the same way)
+        assert not with_traceback, "emit_last_row requires scores-only"
         hlast = outs[1]  # (N, B_padded): H[qlen][j] at sublane j-1
         flast = outs[2] if algorithm.is_affine else None
         return meta[0, :], meta[1, :], meta[2, :], hlast, flast

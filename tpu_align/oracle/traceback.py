@@ -19,11 +19,19 @@ from tpu_align.oracle.scalar import FillResult
 
 
 def _walk_nw(dirs, ref: str, qry: str, r: int, c: int, stop_local: bool, h=None):
-    """Shared NW/SW walk. Returns (ref_str, rel_str, qry_str) built back-to-front."""
+    """Shared NW/SW walk. Returns (ref_str, rel_str, qry_str) built back-to-front.
+
+    Local stop: the reference CPU walker ends a path when the next cell's
+    SCORE is 0 (c++/LinearSmithWaterman.cpp:225-227), so when `h` is given
+    a zero-score cell stops the walk even if it stores a direction -- the
+    "cpu" tie policy writes a gap direction into clamped-to-zero cells
+    (scalar.py, mirroring LinearSmithWaterman.cpp:104-108).  Under the
+    "cuda" policy h == 0 <=> dirs == NONE, so the checks coincide."""
     out_r, out_m, out_q = [], [], []
     while True:
         if stop_local:
-            if r <= 0 or c <= 0 or dirs[r, c] == D.NONE:
+            if (r <= 0 or c <= 0 or dirs[r, c] == D.NONE
+                    or (h is not None and h[r, c] == 0)):
                 break
         elif r == 0 and c == 0:
             break
@@ -124,7 +132,6 @@ def _local_all_paths(fill: FillResult, ref: str, qry: str):
     import numpy as np
 
     h = fill.h
-    m, n = h.shape[0] - 1, h.shape[1] - 1
     # the scan order (rows bottom-up, columns right-to-left, tracking the
     # running max) collects exactly: every cell equal to the global max,
     # in descending row-major order -- vectorized here (the Python double
@@ -215,7 +222,8 @@ def traceback_pair(
             extra_paths=list(paths[1:]),
         )
     score, sr, sc = fill.local_max()
-    r, m, q = _walk_nw(fill.main_dirs, reference, query, sr, sc, stop_local=True)
+    r, m, q = _walk_nw(fill.main_dirs, reference, query, sr, sc,
+                       stop_local=True, h=fill.h)
     return AlignmentResult(pair_num, score, r, m, q)
 
 
