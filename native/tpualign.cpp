@@ -416,7 +416,11 @@ void replay_events_range(
     const int64_t ne = ev_off[b + 1] - ev_off[b];
     int64_t r = start_row[b], c = start_col[b];
     int64_t rem = local ? scores[b] : 1;
-    int64_t acc = 0;  // path score, re-derived (linear weights only)
+    // path score, re-derived with LINEAR weights only -- out_scores must
+    // stay NULL for affine replays (gap runs would need open+extend);
+    // the current binding (binding.py native_replay_events) always
+    // passes NULL and takes scores from the fill readback instead
+    int64_t acc = 0;
     int64_t pos = cap;
     bool done = false;
     auto diag = [&]() {

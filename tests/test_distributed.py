@@ -314,3 +314,30 @@ def test_engine_sharded_honors_stripe_s():
     ref = AlignmentEngine(Algorithm.LNW, bucket_spec=BucketSpec(
         batch_pairs=64), output="blocks").run(ds)
     assert got.output_text() == want.output_text() == ref.output_text()
+
+
+def test_sharded_walk_refuses_ef_bitless_affine(monkeypatch):
+    """The sharded walk dispatcher must refuse EF-bit-less affine dirs
+    like every other walk entry point (TPU_ALIGN_ANW_EF_BITS=0 is a
+    scores-only bench knob)."""
+    from tpu_align.distributed.sharding import walk_sharded_dispatch
+
+    monkeypatch.setenv("TPU_ALIGN_ANW_EF_BITS", "0")
+    mesh = make_pairs_mesh(jax.devices()[:8])
+    with pytest.raises(RuntimeError, match="EF_BITS"):
+        walk_sharded_dispatch(mesh, Algorithm.ANW, AlignmentParams(),
+                              None, None, None, None, 32)
+
+
+def test_cli_mesh_rejects_unsharded_modes(tmp_path, capsys):
+    """-mesh with -all-paths / -traceback hirschberg exits 2 with a clear
+    message instead of an uncaught NotImplementedError."""
+    from tpu_align.cli import main as cli_main
+    from tpu_align.io import write_pair_file
+
+    path = tmp_path / "p.txt"
+    write_pair_file(path, [("ACGT", "ACG")])
+    rc = cli_main(["-pairs", str(path), "-mesh", "2",
+                   "-traceback", "hirschberg", "-no-output"])
+    assert rc == 2
+    assert "unsharded" in capsys.readouterr().err

@@ -119,6 +119,11 @@ def main(argv=None) -> int:
     output = args.output
     if output == "auto":
         output = "blocks"
+    if args.mesh and (args.all_paths or args.traceback == "hirschberg"):
+        print("-mesh covers the bucketed kernel path; -all-paths and "
+              "-traceback hirschberg run unsharded -- drop -mesh for "
+              "those modes", file=sys.stderr)
+        return 2
     mesh = None
     if args.mesh:
         import jax

@@ -37,8 +37,18 @@ def initialize(coordinator_address: str | None = None,
 
     Returns (process_index, process_count).  On TPU pods the arguments are
     auto-detected from the environment; pass them explicitly elsewhere.
+    Single-host dev boxes (no coordinator, no pod metadata) stay
+    single-process: the bare auto-detect attempt fails cleanly there.
     """
-    if num_processes is not None and num_processes > 1:
+    if num_processes is None:
+        # auto-detect path: jax.distributed reads the pod environment;
+        # on a plain host it raises, which is the single-process case
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address)
+        except (RuntimeError, ValueError):
+            pass
+    elif num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

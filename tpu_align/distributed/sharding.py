@@ -86,7 +86,9 @@ def fill_sharded(
     if stripe_s is None:
         stripe_s = STRIPE_S
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from tpu_align.kernels.fill import _default_interpret
+
+        interpret = _default_interpret()
     if algorithm.is_banded:
         kernel = "banded"
     b = ref_tokens.shape[0]
@@ -170,13 +172,20 @@ def walk_sharded_dispatch(
     retries with a doubled phase budget on exhaustion (pmax-reduced).
 
     The banded aligner walks its skewed (MW, B, K8) dirs with the banded
-    walker (stripe_s is ignored)."""
+    walker (stripe_s is ignored).
+
+    NOTE: the walker selection below (budget + pallas cap + degrade-to-
+    XLA) mirrors device_walk_dispatch (traceback/device.py) with the
+    shard-local batch in the cap; harden both together."""
     from tpu_align.kernels.fill import bits_per_cell
     from tpu_align.traceback.device import (
         _device_walk,
         _device_walk_banded,
         _walk_phase_budget,
     )
+    from tpu_align.traceback.host import _check_affine_walkable
+
+    _check_affine_walkable(algorithm)  # EF-bits knob: refuse, don't corrupt
 
     n_sh = mesh.devices.size
     if algorithm.is_banded:

@@ -603,6 +603,16 @@ def hirschberg_align_batch(
                      if seg_seqs else [])
         out = [result(k, score) for k, (score, _) in enumerate(ends)]
         for k, (r, m, q) in zip(seg_idx, seg_lines):
+            # the other branches print _rescore(lines); here the score
+            # comes from the forward fill, so reconcile the emitted
+            # segment against it -- an endpoint/recursion regression
+            # must fail loudly, not print desynchronized score + lines
+            got = _rescore(params, r, q)
+            if got != ends[k][0]:
+                raise RuntimeError(
+                    f"hirschberg LSW rescore mismatch (pair "
+                    f"{pair_nums[k]}): lines score {got}, fill says "
+                    f"{ends[k][0]}")
             out[k] = result(k, ends[k][0], r, m, q)
         return out
     lines = _global_lines_batch(params, seqs, leaf_q, interpret)

@@ -60,8 +60,11 @@ def pallas_t_max_cap(dirs_shape) -> int:
     gt = _group_lanes(B)
     vmem = 100 * 1024 * 1024  # matches CompilerParams below
     slab = W * S * gt * 4
-    fixed = slab + 8 * gt * 4 + 64 * 1024  # slab + small scratches + slack
-    per_t = gt * 4 * (1 + 1 / 16)          # emit_buf + packed out, per phase
+    # Mosaic double-buffers the grid-varying blocks (the dirs slab
+    # changes per stripe, the packed output per lane group), so budget
+    # 2x for both; the emit scratch is true scratch (single copy).
+    fixed = 2 * slab + 8 * gt * 4 + 64 * 1024
+    per_t = gt * 4 * (1 + 2 / 16)          # emit_buf + 2x packed out
     cap = int((vmem * 0.9 - fixed) / per_t)
     return max(16, (cap // 16) * 16)
 
@@ -243,8 +246,10 @@ def pallas_banded_t_max_cap(dirs_shape) -> int:
     _, B, K8 = dirs_shape
     gt = _group_lanes(B)
     vmem = 100 * 1024 * 1024
-    fixed = K8 * gt * 4 + 8 * gt * 4 + 64 * 1024
-    per_t = gt * 4 * (1 + 1 / 16)
+    # 2x the grid-varying blocks (word plane, packed out) for Mosaic
+    # double-buffering, as in pallas_t_max_cap
+    fixed = 2 * K8 * gt * 4 + 8 * gt * 4 + 64 * 1024
+    per_t = gt * 4 * (1 + 2 / 16)
     cap = int((vmem * 0.9 - fixed) / per_t)
     return max(16, (cap // 16) * 16)
 
