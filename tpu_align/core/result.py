@@ -49,9 +49,12 @@ def results_from_arrays(pair_ids, scores, out_buf, out_lens,
     return [
         AlignmentResult(
             int(pair_ids[row]), int(scores[row]),
-            out_buf[row, 0, :int(out_lens[row])].tobytes().decode("ascii"),
-            out_buf[row, 1, :int(out_lens[row])].tobytes().decode("ascii"),
-            out_buf[row, 2, :int(out_lens[row])].tobytes().decode("ascii"),
+            # latin-1: byte-transparent, matching the oracle's _encode --
+            # the parser accepts arbitrary non-newline bytes, and a >127
+            # byte must round-trip instead of crashing the whole run
+            out_buf[row, 0, :int(out_lens[row])].tobytes().decode("latin-1"),
+            out_buf[row, 1, :int(out_lens[row])].tobytes().decode("latin-1"),
+            out_buf[row, 2, :int(out_lens[row])].tobytes().decode("latin-1"),
         )
         for row in range(num_real)
     ]

@@ -226,12 +226,15 @@ def _fill_anw(p: AlignmentParams, ref: str, qry: str) -> FillResult:
 # (anchored in tests/test_oracle.py).
 
 
-def _encode_batch(seqs):
-    """(B, nmax) uint8 token slab + (B,) lengths; ref pad 0 / qry pad 1
-    are chosen by the caller via pad_token."""
+def _encode_batch(seqs, pad: int = 0):
+    """(B, nmax) uint8 token slab (tail positions = `pad`) + (B,) lengths.
+    Callers pad refs with 0 and qrys with 1 so pad-vs-pad never compares
+    equal -- only PAD positions get the pad byte; real sequence bytes
+    (including NUL) pass through untouched, keeping batch fills
+    bit-identical to fill_vectorized on arbitrary byte content."""
     lens = np.array([len(s) for s in seqs], np.int64)
     nmax = int(lens.max()) if len(seqs) else 0
-    out = np.zeros((len(seqs), max(nmax, 1)), np.uint8)
+    out = np.full((len(seqs), max(nmax, 1)), pad, np.uint8)
     for k, s in enumerate(seqs):
         out[k, : len(s)] = np.frombuffer(s.encode("latin-1"), np.uint8)
     return out, lens
@@ -284,8 +287,7 @@ def fill_vectorized_batch(
 
 def _fill_lnw_batch(p: AlignmentParams, refs, qrys):
     r_tok, r_len = _encode_batch(refs)
-    q_tok, q_len = _encode_batch(qrys)
-    q_tok[q_tok == 0] = 1  # qry pad 1 never equals ref pad 0
+    q_tok, q_len = _encode_batch(qrys, pad=1)  # never equals ref pad 0
     b, n = r_tok.shape
     m = q_tok.shape[1]
     g = p.gap
@@ -318,8 +320,7 @@ def _fill_lnw_batch(p: AlignmentParams, refs, qrys):
 
 def _fill_lsw_batch(p: AlignmentParams, refs, qrys, band, tie_policy):
     r_tok, r_len = _encode_batch(refs)
-    q_tok, q_len = _encode_batch(qrys)
-    q_tok[q_tok == 0] = 1
+    q_tok, q_len = _encode_batch(qrys, pad=1)  # never equals ref pad 0
     b, n = r_tok.shape
     m = q_tok.shape[1]
     g = p.gap

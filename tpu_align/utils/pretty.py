@@ -30,9 +30,16 @@ def format_matrix(
         "",
         red + "      " + "".join(f"{ch:>5}" for ch in reference) + reset,
     ]
-    for i, row in enumerate(np.asarray(matrix)):
+    mat = np.asarray(matrix)
+    # cell width fits the widest value (affine E/F borders hold the
+    # ~-2.5e8 neg sentinel, which is 10 chars -- fixed 5 misaligned them)
+    w = max(5, max((len(str(int(v))) for v in mat.reshape(-1)), default=1))
+    if w > 5:
+        lines[-1] = (red + " " * (w + 1)
+                     + "".join(f"{ch:>{w}}" for ch in reference) + reset)
+    for i, row in enumerate(mat):
         label = " " if i == 0 else query[i - 1]
-        cells = "".join(f"{int(v):5d}" for v in row)
+        cells = "".join(f"{int(v):{w}d}" for v in row)
         lines.append(f"{green}{label}{reset}{cells}")
     lines += ["", "=" * 44]
     return "\n".join(lines)

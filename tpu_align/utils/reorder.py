@@ -16,8 +16,11 @@ def block_header_pair_num(line: str) -> int | None:
     header -- alignment lines hold only bases/'_' and relation lines only
     '*', '|', ' ', so the integer check rejects both."""
     parts = line.split(" | ")
-    if len(parts) == 2 and parts[0].strip().lstrip("-").isdigit():
-        return int(parts[0])
+    if len(parts) == 2:
+        try:  # int() also rejects what isdigit() would admit ("--5", "²")
+            return int(parts[0])
+        except ValueError:
+            return None
     return None
 
 

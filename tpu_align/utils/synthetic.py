@@ -17,18 +17,21 @@ _BASES = np.frombuffer(b"ATCG", np.uint8)
 
 
 def mutate(rng: np.random.Generator, seq: np.ndarray, sub_rate=0.05,
-           ins_rate=0.02, del_rate=0.02) -> np.ndarray:
-    """Apply substitutions and indels to a uint8 base array."""
+           ins_rate=0.02, del_rate=0.02, bases: np.ndarray = _BASES
+           ) -> np.ndarray:
+    """Apply substitutions and indels to a uint8 base array.  New bases
+    are drawn from `bases` so a reduced alphabet stays reduced (the
+    tie-rich property all-paths golden generation relies on)."""
     n = seq.size
     keep = rng.random(n) >= del_rate
     subs = rng.random(n) < sub_rate
     out = seq.copy()
-    out[subs] = _BASES[rng.integers(0, 4, int(subs.sum()))]
+    out[subs] = bases[rng.integers(0, len(bases), int(subs.sum()))]
     out = out[keep]
     n_ins = int(rng.binomial(max(out.size, 1), ins_rate))
     if n_ins:
         pos = np.sort(rng.integers(0, out.size + 1, n_ins))
-        out = np.insert(out, pos, _BASES[rng.integers(0, 4, n_ins)])
+        out = np.insert(out, pos, bases[rng.integers(0, len(bases), n_ins)])
     return out
 
 
@@ -55,7 +58,7 @@ def synthetic_dataset(
     for _ in range(num_pairs):
         n = uniform_len or int(rng.integers(min_len, max_len + 1))
         ref = bases[rng.integers(0, len(bases), n)]
-        qry = mutate(rng, ref, sub_rate, indel_rate, indel_rate)
+        qry = mutate(rng, ref, sub_rate, indel_rate, indel_rate, bases)
         if qry.size == 0:
             qry = bases[rng.integers(0, len(bases), 1)]
         pairs.append((ref.tobytes().decode(), qry.tobytes().decode()))

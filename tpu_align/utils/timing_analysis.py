@@ -69,12 +69,17 @@ def plot(runs: list[dict], outfile: str) -> bool:
     phases = [p for p in PHASE_ORDER
               if any(p in r.get("phases", {}) for r in runs)]
     labels = [str(r.get("label", i)) for i, r in enumerate(runs)]
+    # numeric x positions: duplicate labels (the same config re-run and
+    # appended) must not collapse onto one category, hiding runs and
+    # misplacing the total annotations
+    xs = list(range(len(runs)))
     plt.figure(figsize=(max(6, 1.2 * len(runs)), 5))
     bottom = [0.0] * len(runs)
     for p in phases:
         vals = [r.get("phases", {}).get(p, 0.0) * 1e3 for r in runs]
-        plt.bar(labels, vals, bottom=bottom, label=p, width=0.6)
+        plt.bar(xs, vals, bottom=bottom, label=p, width=0.6)
         bottom = [b + v for b, v in zip(bottom, vals)]
+    plt.xticks(xs, labels, rotation=20, ha="right")
     for x, total in enumerate(bottom):
         plt.text(x, total, f"{total:.0f} ms", ha="center", va="bottom")
     plt.ylabel("Time (ms)")
